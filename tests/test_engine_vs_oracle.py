@@ -1,0 +1,149 @@
+"""Bit-exactness fuzz: the JAX engine against the validated NumPy oracle.
+
+Covers all env families, every state field after every step, sparse reward
+and termination, and batch-invariance (vmapped engine must agree with the
+single-env path).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from arcle_tpu.core.state import init_state, Action
+from arcle_tpu.ops import raw_table, arc_table, o2arc_table, step
+from arcle_tpu.oracle import OracleEnv
+
+from test_oracle_vs_reference import random_grid, random_selection
+
+
+def jax_state_from(inp, out, max_trial=-1, reset_on_submit=False):
+    H = W = 30
+    pad_i = np.zeros((H, W), np.int8)
+    pad_i[:inp.shape[0], :inp.shape[1]] = inp
+    pad_o = np.zeros((H, W), np.int8)
+    pad_o[:out.shape[0], :out.shape[1]] = out
+    return init_state(
+        jnp.asarray(pad_i), jnp.asarray(np.array(inp.shape, np.int8)),
+        jnp.asarray(pad_o), jnp.asarray(np.array(out.shape, np.int8)),
+        max_trial=max_trial, reset_on_submit=int(reset_on_submit))
+
+
+FIELDS = [
+    ("trials_remain", lambda o: o["trials_remain"][0]),
+    ("terminated", lambda o: o["terminated"][0]),
+    ("input", lambda o: o["input"]),
+    ("input_dim", lambda o: o["input_dim"]),
+    ("grid", lambda o: o["grid"]),
+    ("grid_dim", lambda o: o["grid_dim"]),
+    ("selected", lambda o: o["selected"]),
+    ("clip", lambda o: o["clip"]),
+    ("clip_dim", lambda o: o["clip_dim"]),
+    ("active", lambda o: o["object_states"]["active"][0]),
+    ("object", lambda o: o["object_states"]["object"]),
+    ("object_sel", lambda o: o["object_states"]["object_sel"]),
+    ("object_dim", lambda o: o["object_states"]["object_dim"]),
+    ("object_pos", lambda o: o["object_states"]["object_pos"]),
+    ("background", lambda o: o["object_states"]["background"]),
+    ("rotation_parity", lambda o: o["object_states"]["rotation_parity"][0]),
+]
+
+
+def assert_state_equal(js, orc_state, t, op, fields=FIELDS):
+    for name, get in fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(js, name)), np.asarray(get(orc_state)),
+            err_msg=f"step {t} op {op} field {name}")
+
+
+CORE_FIELDS = [f for f in FIELDS if f[0] in (
+    "trials_remain", "terminated", "input", "input_dim", "grid", "grid_dim")]
+CLIP_FIELDS = CORE_FIELDS + [f for f in FIELDS if f[0] in ("clip", "clip_dim")]
+
+
+def run_fuzz(family, table, seed, n_steps, fields, max_trial=3,
+             reset_on_submit=False, submit_boost=0.0):
+    rng = np.random.default_rng(seed)
+    inp = random_grid(rng, int(rng.integers(2, 16)), int(rng.integers(2, 16)))
+    out = random_grid(rng, int(rng.integers(2, 16)), int(rng.integers(2, 16)))
+
+    orc = OracleEnv(family, max_trial=max_trial)
+    orc.reset(inp, out, reset_on_submit=reset_on_submit)
+    js = jax_state_from(inp, out, max_trial, reset_on_submit)
+    jstep = jax.jit(step, static_argnums=2)
+
+    for t in range(n_steps):
+        op = int(rng.integers(0, table.n_ops))
+        if submit_boost and rng.random() < submit_boost:
+            op = table.n_ops - 1
+        sel = random_selection(rng)
+        ostate, orew, oterm = orc.step(sel, op)
+        js, jrew, jterm = jstep(
+            js, Action(selection=jnp.asarray(sel),
+                       operation=jnp.asarray(op, jnp.int32)), table)
+        assert_state_equal(js, ostate, t, op, fields)
+        assert float(jrew) == orew, f"step {t} op {op} reward"
+        assert bool(jterm) == oterm, f"step {t} op {op} terminated"
+        if oterm:
+            break
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_o2arc_engine_fuzz(seed):
+    run_fuzz("o2arc", o2arc_table(max_trial=3), seed, 300, FIELDS)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_o2arc_crop33_engine_fuzz(seed):
+    run_fuzz("o2arc_crop33", o2arc_table(max_trial=3, crop_at_33=True),
+             seed + 50, 200, FIELDS)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_arc_engine_fuzz(seed):
+    run_fuzz("arc", arc_table(max_trial=3), seed + 100, 200, CLIP_FIELDS)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_raw_engine_fuzz(seed):
+    run_fuzz("raw", raw_table(max_trial=3), seed + 200, 120, CORE_FIELDS)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_o2arc_reset_on_submit_engine(seed):
+    run_fuzz("o2arc", o2arc_table(max_trial=5), seed + 300, 150, FIELDS,
+             max_trial=5, reset_on_submit=True, submit_boost=0.2)
+
+
+def test_vmap_matches_single():
+    """Stepping a batch must equal stepping each env alone (semantics are
+    batch-size invariant)."""
+    table = o2arc_table(max_trial=3)
+    rng = np.random.default_rng(9)
+    B = 16
+    states = []
+    for _ in range(B):
+        inp = random_grid(rng, int(rng.integers(2, 12)), int(rng.integers(2, 12)))
+        out = random_grid(rng, int(rng.integers(2, 12)), int(rng.integers(2, 12)))
+        states.append(jax_state_from(inp, out, 3))
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+    vstep = jax.jit(jax.vmap(step, in_axes=(0, 0, None)), static_argnums=2)
+    sstep = jax.jit(step, static_argnums=2)
+
+    for t in range(40):
+        ops = rng.integers(0, 35, B)
+        sels = np.stack([random_selection(rng) for _ in range(B)])
+        act = Action(selection=jnp.asarray(sels),
+                     operation=jnp.asarray(ops, jnp.int32))
+        batched, brew, bterm = vstep(batched, act, table)
+        for i in range(B):
+            a1 = Action(selection=jnp.asarray(sels[i]),
+                        operation=jnp.asarray(int(ops[i]), jnp.int32))
+            states[i], r1, t1 = sstep(states[i], a1, table)
+            assert float(brew[i]) == float(r1), (t, i)
+        single = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        chex_equal = jax.tree.map(
+            lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+            batched, single)
+        assert all(jax.tree.leaves(chex_equal)), (t, chex_equal)
