@@ -1,0 +1,140 @@
+"""Functional environment cores.
+
+``reset``/``step`` as pure functions over :class:`EnvState`, with task
+selection happening *on device* from a :class:`TaskBank` — the TPU
+counterpart of the reference's ``AbstractARCEnv.reset`` task plumbing
+(base.py:69-118).  Randomness uses explicit ``jax.random`` keys instead of
+the reference's global-numpy-RNG calls (base.py:99,104 / loader.py:51) — a
+documented divergence; parity tests pin explicit indices.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.state import EnvState, Action, init_state, I8, I32
+from ..loaders.loader import TaskBank
+from ..ops.table import OpTable, step as _step, transition as _transition
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ResetOptions:
+    """Dynamic reset options (the reference's ``options`` dict,
+    base.py:87-93).  Negative index = sample uniformly with the key."""
+
+    prob_index: jax.Array      # i32 [] ; -1 -> sample
+    subprob_index: jax.Array   # i32 [] ; -1 -> sample
+    adaptation: jax.Array      # bool []
+    reset_on_submit: jax.Array # bool []
+
+    @staticmethod
+    def make(prob_index: int = -1, subprob_index: int = -1,
+             adaptation: bool = True,
+             reset_on_submit: bool = False) -> "ResetOptions":
+        return ResetOptions(
+            prob_index=jnp.asarray(prob_index, I32),
+            subprob_index=jnp.asarray(subprob_index, I32),
+            adaptation=jnp.asarray(adaptation, bool),
+            reset_on_submit=jnp.asarray(reset_on_submit, bool),
+        )
+
+
+def reset(bank: TaskBank, key: jax.Array, opts: ResetOptions,
+          max_trial: int = -1) -> EnvState:
+    """Fresh state for one env: pick (task, pair) and initialize."""
+    kp, ks = jax.random.split(key)
+    prob = jnp.where(
+        opts.prob_index >= 0, opts.prob_index,
+        jax.random.randint(kp, (), 0, bank.n_tasks))
+    count = bank.pair_count(prob, opts.adaptation)
+    sub = jnp.where(
+        opts.subprob_index >= 0, opts.subprob_index,
+        jax.random.randint(ks, (), 0, jnp.maximum(count, 1)))
+    flat = bank.pair_index(prob, sub, opts.adaptation)
+    st = init_state(
+        bank.in_grids[flat], bank.in_dims[flat],
+        bank.out_grids[flat], bank.out_dims[flat],
+        max_trial=jnp.asarray(max_trial, I8),
+        reset_on_submit=opts.reset_on_submit.astype(I8),
+    )
+    return st
+
+
+step = _step
+transition = _transition
+
+
+# ---------------------------------------------------------------------------
+# Batched lockstep engine
+# ---------------------------------------------------------------------------
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BatchedState:
+    """Carry for a batch of envs stepping in lockstep: env states + per-env
+    PRNG keys (for auto-reset task sampling)."""
+
+    env: EnvState              # leaves have leading [B]
+    key: jax.Array             # u32 [B, 2]
+
+    @property
+    def batch(self) -> int:
+        return self.key.shape[0]
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchedEnv:
+    """Vectorized env family over a task bank.
+
+    The reference has no in-env auto-reset (episode boundaries are the
+    Gymnasium caller's job); a lockstep batch needs one, so ``auto_reset``
+    replaces terminated/truncated envs with freshly sampled tasks, matching
+    the reference's semantics *within* an episode exactly.  ``episode_limit``
+    reproduces the TimeLimit wrapper the reference drivers use
+    (train.py:67: TimeLimit(100), agents/wrapper.py:64: 300).
+    """
+
+    table: OpTable
+    bank: TaskBank
+    max_trial: int = -1
+    episode_limit: int = 0          # 0 = unlimited
+    auto_reset: bool = True
+    opts: ResetOptions = dataclasses.field(
+        default_factory=lambda: ResetOptions.make())
+
+    def reset(self, key: jax.Array, batch: int) -> BatchedState:
+        keys = jax.random.split(key, batch + 1)
+        env = jax.vmap(lambda k: reset(self.bank, k, self.opts,
+                                       self.max_trial))(keys[1:])
+        return BatchedState(env=env, key=jax.random.split(keys[0], batch))
+
+    def step(self, bs: BatchedState, action: Action
+             ) -> Tuple[BatchedState, EnvState, jax.Array, jax.Array, jax.Array]:
+        """Lockstep step.  Returns (carry, obs_states, reward, terminated,
+        truncated); obs_states is the post-step pre-reset state pytree (what
+        the agent observes, as Gymnasium returns the final observation
+        before auto-reset)."""
+        env2, reward, term = jax.vmap(
+            _step, in_axes=(0, 0, None))(bs.env, action, self.table)
+        if self.episode_limit > 0:
+            trunc = env2.steps >= self.episode_limit
+        else:
+            trunc = jnp.zeros_like(term)
+        if not self.auto_reset:
+            return (BatchedState(env=env2, key=bs.key),
+                    env2, reward, term, trunc)
+        done = term | trunc
+        split = jax.vmap(jax.random.split)(bs.key)   # [B, 2, 2]
+        next_key, reset_key = split[:, 0], split[:, 1]
+        fresh = jax.vmap(lambda k: reset(self.bank, k, self.opts,
+                                         self.max_trial))(reset_key)
+        env3 = jax.tree.map(
+            lambda a, b: jnp.where(
+                done.reshape((-1,) + (1,) * (a.ndim - 1)), b, a),
+            env2, fresh)
+        key3 = jnp.where(done, next_key, bs.key)
+        return BatchedState(env=env3, key=key3), env2, reward, term, trunc

@@ -1,0 +1,109 @@
+"""Synthetic ARC-like task generation.
+
+The dataset submodules are not checked out in this environment
+(``/root/reference/.gitmodules`` references them but the dirs are empty),
+so the framework bundles a generator for structurally ARC-like tasks:
+each task applies one hidden transformation (recolor / flip / rotate /
+translate) consistently across its train and test pairs.  Used to build
+the bundled sample dataset, loader tests, and benchmark task banks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Tuple
+
+import numpy as np
+
+from .loader import Loader, TaskTuple
+
+
+def _random_sprite(rng: np.random.Generator, h: int, w: int,
+                   colors: int) -> np.ndarray:
+    g = rng.integers(0, colors, size=(h, w)).astype(np.int8)
+    # sparsify so flood fill / object ops have structure to bite on
+    g[rng.random((h, w)) < 0.4] = 0
+    return g
+
+
+def _apply_rule(grid: np.ndarray, rule: int, perm: np.ndarray) -> np.ndarray:
+    if rule == 0:                      # color permutation
+        return perm[grid].astype(np.int8)
+    if rule == 1:                      # horizontal flip
+        return np.fliplr(grid).copy()
+    if rule == 2:                      # vertical flip
+        return np.flipud(grid).copy()
+    if rule == 3:                      # rotate 90 CCW
+        return np.rot90(grid).copy()
+    if rule == 4:                      # rotate 180
+        return np.rot90(grid, 2).copy()
+    return grid.copy()                 # identity
+
+
+def make_task(rng: np.random.Generator, min_size: int = 3,
+              max_size: int = 12, n_train: int = 3, n_test: int = 1,
+              colors: int = 10) -> TaskTuple:
+    rule = int(rng.integers(0, 6))
+    perm = np.concatenate([[0], rng.permutation(np.arange(1, colors))])
+    ti, to, ei, eo = [], [], [], []
+    for k in range(n_train + n_test):
+        h = int(rng.integers(min_size, max_size + 1))
+        w = int(rng.integers(min_size, max_size + 1))
+        i = _random_sprite(rng, h, w, colors)
+        o = _apply_rule(i, rule, perm)
+        (ti if k < n_train else ei).append(i)
+        (to if k < n_train else eo).append(o)
+    return ti, to, ei, eo, {"id": f"synth{rng.integers(0, 1 << 30):08x}",
+                            "rule": rule}
+
+
+def make_tasks(n_tasks: int, seed: int = 0, **kw) -> List[TaskTuple]:
+    rng = np.random.default_rng(seed)
+    return [make_task(rng, **kw) for _ in range(n_tasks)]
+
+
+class SyntheticLoader(Loader):
+    """In-memory synthetic dataset — the batteries-included default."""
+
+    def __init__(self, n_tasks: int = 32, seed: int = 0, **task_kw):
+        self._n_tasks = n_tasks
+        self._seed = seed
+        self._task_kw = task_kw
+        super().__init__()
+
+    def get_path(self, **kwargs):
+        return ["<synthetic>"] * self._n_tasks
+
+    def parse(self, **kwargs):
+        return make_tasks(self._n_tasks, self._seed, **self._task_kw)
+
+
+def write_sample_dataset(root: str, n_train_tasks: int = 16,
+                         n_eval_tasks: int = 8, n_mini: int = 8,
+                         seed: int = 7) -> None:
+    """Materialize a bundled ARC-layout sample dataset on disk."""
+    rng = np.random.default_rng(seed)
+
+    def dump(task: TaskTuple, path: str):
+        ti, to, ei, eo, _ = task
+        payload = {
+            "train": [{"input": i.tolist(), "output": o.tolist()}
+                      for i, o in zip(ti, to)],
+            "test": [{"input": i.tolist(), "output": o.tolist()}
+                     for i, o in zip(ei, eo)],
+        }
+        with open(path, "w") as fp:
+            json.dump(payload, fp)
+
+    arc = os.path.join(root, "sample_arc")
+    for sub, n in (("training", n_train_tasks), ("evaluation", n_eval_tasks)):
+        os.makedirs(os.path.join(arc, sub), exist_ok=True)
+        for k in range(n):
+            dump(make_task(rng), os.path.join(arc, sub, f"synth{k:03d}.json"))
+
+    mini = os.path.join(root, "sample_miniarc")
+    os.makedirs(mini, exist_ok=True)
+    for k in range(n_mini):
+        task = make_task(rng, min_size=5, max_size=5, n_train=2)
+        dump(task, os.path.join(mini, f"sample task {k}_m{k:03d}.json"))

@@ -1,0 +1,155 @@
+"""Action/observation wrappers: Gymnasium classes for the compat layer and
+pure functions for the batched engine.
+
+Counterparts of /root/reference/arcle/wrappers/bbox.py:9-49 (BBoxWrapper,
+PointWrapper), agents/wrapper.py (max_grid_size variants, O2ARCNoFillEnv
+registration) and agents/env.py:89-126 (FilterO2ARC).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Dict, Tuple
+
+import gymnasium as gym
+import jax
+import jax.numpy as jnp
+import numpy as np
+from gymnasium import spaces
+
+from ..core.geometry import bbox_selection, point_selection
+from ..core.state import Action, EnvState, I32
+
+
+# ---------------------------------------------------------------------------
+# Functional action builders (for the batched/jit path)
+# ---------------------------------------------------------------------------
+def bbox_action(x1, y1, x2, y2, op, H: int = 30, W: int = 30) -> Action:
+    """(x1,y1,x2,y2,op) -> selection-mask action (bbox.py:22-30)."""
+    return Action(selection=bbox_selection(x1, y1, x2, y2, H, W),
+                  operation=jnp.asarray(op, I32))
+
+
+def point_action(x, y, op, H: int = 30, W: int = 30) -> Action:
+    """(x,y,op) -> one-pixel action (bbox.py:43-49)."""
+    return Action(selection=point_selection(x, y, H, W),
+                  operation=jnp.asarray(op, I32))
+
+
+batched_bbox_action = jax.vmap(bbox_action, in_axes=(0, 0, 0, 0, 0, None, None))
+batched_point_action = jax.vmap(point_action, in_axes=(0, 0, 0, None, None))
+
+
+# The 9-key observation projection of FilterO2ARC (agents/env.py:109-126).
+FILTER_O2ARC_KEYS = ("trials_remain", "grid", "grid_dim", "clip", "clip_dim",
+                     "active", "object", "object_dim", "object_pos")
+
+
+def filter_obs(state: EnvState) -> Dict[str, jax.Array]:
+    """Project a (possibly batched) EnvState to the FilterO2ARC key set."""
+    return OrderedDict(
+        (k, getattr(state, k)) for k in FILTER_O2ARC_KEYS)
+
+
+def flatten_obs(state: EnvState) -> jax.Array:
+    """FilterO2ARC + FlattenObservation as one pure function: concatenation
+    in alphabetical key order, matching Gymnasium's Dict flattening (the
+    order GPTPolicy.unflatten_vec hard-codes, GPTPolicy.py:17-42)."""
+    flat = []
+    for k in sorted(FILTER_O2ARC_KEYS):
+        v = getattr(state, k)
+        if k in ("grid", "clip", "object"):          # [..., H, W] -> [..., H*W]
+            flat.append(v.reshape(*v.shape[:-2], -1))
+        elif k in ("grid_dim", "clip_dim", "object_dim", "object_pos"):
+            flat.append(v)                            # [..., 2]
+        else:                                         # scalars -> [..., 1]
+            flat.append(v[..., None])
+    return jnp.concatenate([f.astype(jnp.float32) for f in flat], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Gymnasium wrappers (compat layer)
+# ---------------------------------------------------------------------------
+class BBoxWrapper(gym.ActionWrapper):
+    def __init__(self, env: gym.Env):
+        super().__init__(env)
+        u = env.unwrapped
+        self.action_space = spaces.Tuple((
+            spaces.Discrete(u.H), spaces.Discrete(u.W),
+            spaces.Discrete(u.H), spaces.Discrete(u.W),
+            spaces.Discrete(len(u.operations)),
+        ))
+
+    def action(self, action: Tuple):
+        x1, y1, x2, y2, op = action
+        u = self.env.unwrapped
+        sel = np.zeros((u.H, u.W), np.int8)
+        x1, x2 = min(x1, x2), max(x1, x2)
+        y1, y2 = min(y1, y2), max(y1, y2)
+        sel[x1:x2 + 1, y1:y2 + 1] = 1
+        return {"selection": sel, "operation": op}
+
+
+class PointWrapper(gym.ActionWrapper):
+    def __init__(self, env: gym.Env):
+        super().__init__(env)
+        u = env.unwrapped
+        self.action_space = spaces.Tuple((
+            spaces.Discrete(u.H), spaces.Discrete(u.W),
+            spaces.Discrete(len(u.operations)),
+        ))
+
+    def action(self, action: Tuple):
+        x, y, op = action
+        u = self.env.unwrapped
+        sel = np.zeros((u.H, u.W), np.int8)
+        sel[x, y] = 1
+        return {"selection": sel, "operation": op}
+
+
+class FilterO2ARC(gym.ObservationWrapper):
+    """Project the O2ARC dict obs to 9 keys for MLP training
+    (agents/env.py:89-126)."""
+
+    def __init__(self, env: gym.Env):
+        super().__init__(env)
+        u = env.unwrapped
+        H, W = u.H, u.W
+        self.observation_space = spaces.Dict({
+            "trials_remain": spaces.Box(-1, u.max_trial, shape=(1,),
+                                        dtype=np.int8),
+            "grid": spaces.Box(0, u.colors, (H, W), dtype=np.int8),
+            "grid_dim": spaces.Box(low=np.array([1, 1]),
+                                   high=np.array([H, W]), dtype=np.int8),
+            "clip": spaces.Box(0, u.colors, (H, W), dtype=np.int8),
+            "clip_dim": spaces.Box(low=np.array([0, 0]),
+                                   high=np.array([H, W]), dtype=np.int8),
+            "active": spaces.MultiBinary(1),
+            "object": spaces.Box(0, u.colors, (H, W), dtype=np.int8),
+            "object_dim": spaces.Box(low=np.array([0, 0]),
+                                     high=np.array([H, W]), dtype=np.int8),
+            "object_pos": spaces.Box(low=np.array([-128, -128]),
+                                     high=np.array([127, 127]),
+                                     dtype=np.int8),
+        })
+
+    def observation(self, observation):
+        o2s = observation["object_states"]
+        return OrderedDict([
+            ("trials_remain", observation["trials_remain"]),
+            ("grid", observation["grid"]),
+            ("grid_dim", observation["grid_dim"]),
+            ("clip", observation["clip"]),
+            ("clip_dim", observation["clip_dim"]),
+            ("active", o2s["active"]),
+            ("object", o2s["object"]),
+            ("object_dim", o2s["object_dim"]),
+            ("object_pos", o2s["object_pos"]),
+        ])
+
+
+__all__ = [
+    "bbox_action", "point_action", "batched_bbox_action",
+    "batched_point_action", "filter_obs", "flatten_obs",
+    "FILTER_O2ARC_KEYS", "BBoxWrapper", "PointWrapper", "FilterO2ARC",
+]
