@@ -47,6 +47,32 @@ def _propagate_axis(mask: jax.Array, region: jax.Array, axis: int) -> jax.Array:
     return mask | fwd | bwd
 
 
+def sweep(mask: jax.Array, region: jax.Array) -> jax.Array:
+    """One full propagation sweep (rows then columns)."""
+    m = _propagate_axis(mask, region, axis=1)
+    return _propagate_axis(m, region, axis=0)
+
+
+def connected_component_partial(region: jax.Array, seed_mask: jax.Array,
+                                unroll: int = 2):
+    """``unroll`` fused sweeps with no control flow.
+
+    Returns ``(mask, converged)``.  One sweep resolves one straight leg of
+    any path, so ``unroll=2`` covers every convex / L / T / S shaped
+    component — the overwhelmingly common case; ``converged`` is exact
+    (one extra sweep changed nothing) so callers can fall back to the full
+    fixpoint loop only when needed, at batch level, behind a scalar
+    ``lax.cond`` instead of paying a vmapped ``while_loop`` every step.
+    """
+    region = region != 0
+    mask = (seed_mask != 0) & region
+    for _ in range(unroll):
+        mask = sweep(mask, region)
+    check = sweep(mask, region)
+    converged = ~jnp.any(check != mask)
+    return check, converged
+
+
 def connected_component(region: jax.Array, seed_mask: jax.Array,
                         max_iters: int | None = None) -> jax.Array:
     """Bool [H,W]: cells of ``region`` 4-connected to any cell of ``seed_mask``.

@@ -61,13 +61,33 @@ def bbox(mask: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, j
     )
 
 
+def dyn_roll(a: jax.Array, shift: jax.Array, axis: int) -> jax.Array:
+    """Circular shift by a *traced* per-call amount, TPU-fast.
+
+    ``jnp.roll`` with a traced shift lowers to an elementwise gather —
+    catastrophically slow on TPU (~100x) for batched small grids.  Binary
+    decomposition turns it into ceil(log2(n)) conditional *static* rolls,
+    which XLA fuses into a single cheap vector pass (measured ~0.05 ms for
+    ten chained 2-D rolls over (30,30,4096) int8 vs ~6 ms for one gather
+    roll).
+    """
+    n = a.shape[axis]
+    shift = jnp.mod(jnp.asarray(shift, I32), n)
+    k = 1
+    while k < n:
+        bit = (shift & k) != 0
+        a = jnp.where(bit, jnp.roll(a, k, axis), a)
+        k <<= 1
+    return a
+
+
 def shift2d(a: jax.Array, dx: jax.Array, dy: jax.Array) -> jax.Array:
     """Circular shift: out[i, j] = a[(i - dx) mod H, (j - dy) mod W].
 
     With an appropriate validity mask this implements arbitrary signed-offset
     window placement without gathers over dynamic starts.
     """
-    return jnp.roll(a, shift=(dx, dy), axis=(0, 1))
+    return dyn_roll(dyn_roll(a, dx, 0), dy, 1)
 
 
 def window_mask(x: jax.Array, y: jax.Array, h: jax.Array, w: jax.Array,

@@ -18,7 +18,10 @@ import jax.numpy as jnp
 
 from ..core.state import EnvState, Action, init_state, I8, I32
 from ..loaders.loader import TaskBank
-from ..ops.table import OpTable, step as _step, transition as _transition
+from ..ops.table import (
+    OpTable, step as _step, transition as _transition,
+    step_deferred as _step_deferred, finish_flood as _finish_flood,
+)
 
 
 @jax.tree_util.register_dataclass
@@ -96,6 +99,17 @@ class BatchedEnv:
     the reference's semantics *within* an episode exactly.  ``episode_limit``
     reproduces the TimeLimit wrapper the reference drivers use
     (train.py:67: TimeLimit(100), agents/wrapper.py:64: 300).
+
+    BatchedEnv is itself a pytree (bank/opts are data leaves; the op table
+    and scalars are static metadata), so pass it *as an argument* through
+    ``jax.jit`` boundaries::
+
+        step = jax.jit(BatchedEnv.step)
+        bs, obs, rew, term, trunc = step(env, bs, action)
+
+    Never close over it (or any device array) inside a jitted function:
+    on the axon TPU runtime, captured device constants cost ~25 ms per
+    call and leave the whole process in a degraded dispatch mode.
     """
 
     table: OpTable
@@ -117,9 +131,24 @@ class BatchedEnv:
         """Lockstep step.  Returns (carry, obs_states, reward, terminated,
         truncated); obs_states is the post-step pre-reset state pytree (what
         the agent observes, as Gymnasium returns the final observation
-        before auto-reset)."""
-        env2, reward, term = jax.vmap(
-            _step, in_axes=(0, 0, None))(bs.env, action, self.table)
+        before auto-reset).
+
+        The two expensive rare paths — flood-fill fixpoint completion and
+        auto-reset — run behind scalar ``lax.cond``s over the whole batch,
+        so the per-step graph stays a single fused pass in the common case.
+        """
+        env2, reward, term, pending = jax.vmap(
+            _step_deferred, in_axes=(0, 0, None))(bs.env, action, self.table)
+
+        def flood_fixup(args):
+            env2, action = args
+            fixed = jax.vmap(_finish_flood, in_axes=(0, 0, None, 0))(
+                env2, action, self.table, pending)
+            return fixed
+
+        env2 = jax.lax.cond(
+            jnp.any(pending), flood_fixup, lambda a: a[0], (env2, action))
+
         if self.episode_limit > 0:
             trunc = env2.steps >= self.episode_limit
         else:
@@ -128,13 +157,32 @@ class BatchedEnv:
             return (BatchedState(env=env2, key=bs.key),
                     env2, reward, term, trunc)
         done = term | trunc
-        split = jax.vmap(jax.random.split)(bs.key)   # [B, 2, 2]
-        next_key, reset_key = split[:, 0], split[:, 1]
-        fresh = jax.vmap(lambda k: reset(self.bank, k, self.opts,
-                                         self.max_trial))(reset_key)
-        env3 = jax.tree.map(
-            lambda a, b: jnp.where(
-                done.reshape((-1,) + (1,) * (a.ndim - 1)), b, a),
-            env2, fresh)
-        key3 = jnp.where(done, next_key, bs.key)
+
+        def do_reset(args):
+            env2, keys = args
+            split = jax.vmap(jax.random.split)(keys)   # [B, 2, 2]
+            next_key, reset_key = split[:, 0], split[:, 1]
+            fresh = jax.vmap(lambda k, b: reset(b, k, self.opts,
+                                                self.max_trial),
+                             in_axes=(0, None))(reset_key, self.bank)
+            env3 = jax.tree.map(
+                lambda a, b: jnp.where(
+                    done.reshape((-1,) + (1,) * (a.ndim - 1)), b, a),
+                env2, fresh)
+            key3 = jnp.where(done, next_key, keys)
+            return env3, key3
+
+        env3, key3 = jax.lax.cond(
+            jnp.any(done), do_reset, lambda a: a, (env2, bs.key))
         return BatchedState(env=env3, key=key3), env2, reward, term, trunc
+
+
+jax.tree_util.register_dataclass(
+    BatchedEnv,
+    data_fields=["bank", "opts"],
+    meta_fields=["table", "max_trial", "episode_limit", "auto_reset"],
+)
+
+# jit-friendly free-function aliases: the env rides along as a pytree arg.
+batched_reset = BatchedEnv.reset
+batched_step = BatchedEnv.step

@@ -33,13 +33,14 @@ def augment_task(key: jax.Array, grid: jax.Array, dim: jax.Array,
     perm = jax.random.permutation(kp, jnp.arange(colors, dtype=I8))
 
     def rot_padded(g, d):
+        from ..core.geometry import dyn_roll
         H, W = g.shape
         d = d.astype(I32)
         # rot90^k of the h x w block, re-anchored at the origin:
         # k=1: block lands at rows [W-w, W) -> roll up; k=2: both; k=3: cols.
-        g1 = jnp.roll(jnp.rot90(g, 1), d[1] - W, axis=0)
-        g2 = jnp.roll(jnp.rot90(g, 2), (d[0] - H, d[1] - W), axis=(0, 1))
-        g3 = jnp.roll(jnp.rot90(g, 3), d[0] - H, axis=1)
+        g1 = dyn_roll(jnp.rot90(g, 1), d[1] - W, 0)
+        g2 = dyn_roll(dyn_roll(jnp.rot90(g, 2), d[0] - H, 0), d[1] - W, 1)
+        g3 = dyn_roll(jnp.rot90(g, 3), d[0] - H, 1)
         out = jax.lax.select_n(k, g, g1, g2, g3)
         odd = (k % 2) == 1
         nd = jnp.where(odd, d[::-1], d).astype(I8)

@@ -1,0 +1,219 @@
+"""GPT policy network (flax).
+
+Re-design of the reference transformer policy
+(/root/reference/agents/models/GPTPolicy.py): tokens = 900 grid cells +
+900 input cells + 1 info token + n_ops operation tokens + 1 CLS
+(GPTPolicy.py:363-381), self-attention with key-padding masks over the
+inactive grid area, and heads for operation logits (per-op token),
+bbox mean/std, critic, and the auxiliary r_{t-1} / r_t / next-grid
+predictions (GPTPolicy.py:191-201).
+
+TPU-first differences: masks are computed directly with iota arithmetic
+instead of the reference's ``affine_grid``/``grid_sample`` translation
+trick (GPTPolicy.py:291-327) — bit-identical active areas without image
+resampling; attention runs in bfloat16 on the MXU with f32 accumulation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class GPTConfig:
+    """Mirror of gptconfig.yaml / train_gpt.py:65-80."""
+
+    grid_x: int = 30
+    grid_y: int = 30
+    num_colors: int = 10
+    num_actions: int = 35
+    n_layer: int = 8
+    n_head: int = 16
+    n_embd: int = 128
+    embd_pdrop: float = 0.1
+    resid_pdrop: float = 0.1
+    attn_pdrop: float = 0.1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def num_pixel(self) -> int:
+        return self.grid_x * self.grid_y
+
+    @property
+    def num_tokens(self) -> int:
+        # grid + input + info + op tokens + cls (GPTPolicy.py:380-381)
+        return 2 * self.num_pixel + 1 + self.num_actions + 1
+
+
+def active_mask(dim: jax.Array, H: int, W: int) -> jax.Array:
+    """Bool [H*W]: cells inside ``dim`` (the reference's compute_mask for
+    origin-anchored fields, GPTPolicy.py:291-304)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    d = dim.astype(jnp.int32)
+    return ((rows < d[0]) & (cols < d[1])).reshape(-1)
+
+
+class SelfAttention(nn.Module):
+    cfg: GPTConfig
+
+    @nn.compact
+    def __call__(self, x, pad_mask, deterministic=True):
+        c = self.cfg
+        B, T, C = x.shape
+        qkv = nn.Dense(3 * C, dtype=c.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        split = lambda a: a.reshape(B, T, c.n_head, C // c.n_head)
+        q, k, v = split(q), split(k), split(v)
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                         preferred_element_type=jnp.float32)
+        att = att / jnp.sqrt(jnp.asarray(C // c.n_head, jnp.float32))
+        # key-padding mask: True = masked out (GPTPolicy.py:83)
+        att = jnp.where(pad_mask[:, None, None, :], -jnp.inf, att)
+        att = jax.nn.softmax(att, axis=-1)
+        att = nn.Dropout(c.attn_pdrop)(att, deterministic=deterministic)
+        y = jnp.einsum("bhqk,bkhd->bqhd", att.astype(c.dtype), v,
+                       preferred_element_type=jnp.float32)
+        y = y.reshape(B, T, C).astype(c.dtype)
+        y = nn.Dense(C, dtype=c.dtype, name="proj")(y)
+        return nn.Dropout(c.resid_pdrop)(y, deterministic=deterministic)
+
+
+class Block(nn.Module):
+    cfg: GPTConfig
+
+    @nn.compact
+    def __call__(self, x, pad_mask, deterministic=True):
+        c = self.cfg
+        x = x + SelfAttention(c)(nn.LayerNorm(dtype=c.dtype)(x), pad_mask,
+                                 deterministic)
+        h = nn.Dense(4 * c.n_embd, dtype=c.dtype)(nn.LayerNorm(dtype=c.dtype)(x))
+        h = nn.gelu(h)
+        h = nn.Dense(c.n_embd, dtype=c.dtype)(h)
+        h = nn.Dropout(c.resid_pdrop)(h, deterministic=deterministic)
+        return x + h
+
+
+class Head(nn.Module):
+    """3-layer GELU head (GPTPolicy.py head_factory)."""
+
+    out: int
+    cfg: GPTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        x = nn.gelu(nn.Dense(c.n_embd, dtype=c.dtype,
+                             kernel_init=nn.initializers.orthogonal(jnp.sqrt(2)))(x))
+        x = nn.gelu(nn.Dense(c.n_embd, dtype=c.dtype,
+                             kernel_init=nn.initializers.orthogonal(jnp.sqrt(2)))(x))
+        return nn.Dense(self.out, dtype=jnp.float32,
+                        kernel_init=nn.initializers.orthogonal(0.01))(x)
+
+
+class GPTPolicy(nn.Module):
+    """Returns per-op tokens, op logits, value, and aux predictions."""
+
+    cfg: GPTConfig = GPTConfig()
+
+    @nn.compact
+    def __call__(self, grid, grid_dim, inp, inp_dim, trials_remain, active,
+                 deterministic: bool = True):
+        """All args batched: grid/inp i8 [B,H,W]; dims i8 [B,2];
+        trials_remain/active i8 [B]."""
+        c = self.cfg
+        B = grid.shape[0]
+        P = c.num_pixel
+
+        color_emb = nn.Embed(c.num_colors, c.n_embd, dtype=c.dtype,
+                             name="color_encoder")
+        pos_emb = self.param("pos_emb", nn.initializers.normal(0.02),
+                             (1, P, c.n_embd))
+        state_emb = self.param("state_emb", nn.initializers.normal(0.02),
+                               (8, 1, c.n_embd))
+        cls_tkn = self.param("cls_tkn", nn.initializers.normal(0.02),
+                             (1, 1, c.n_embd))
+        color_action_tkn = self.param("color_action_tkn",
+                                      nn.initializers.normal(0.02),
+                                      (1, 1, c.n_embd))
+        op_emb = nn.Embed(c.num_actions, c.n_embd, dtype=c.dtype,
+                          name="operation_encoder")
+        trials_emb = nn.Embed(4, c.n_embd, dtype=c.dtype,
+                              name="trials_encoder")
+        active_emb = nn.Embed(2, c.n_embd, dtype=c.dtype,
+                              name="active_encoder")
+
+        pe = pos_emb.astype(c.dtype)
+        grid_t = color_emb(jnp.clip(grid, 0, c.num_colors - 1).astype(jnp.int32)
+                           .reshape(B, P)) + pe + state_emb[0].astype(c.dtype)
+        inp_t = color_emb(jnp.clip(inp, 0, c.num_colors - 1).astype(jnp.int32)
+                          .reshape(B, P)) + pe + state_emb[6].astype(c.dtype)
+
+        info = (trials_emb(jnp.clip(trials_remain, 0, 3).astype(jnp.int32))
+                + active_emb(jnp.clip(active, 0, 1).astype(jnp.int32)))
+        info = info.reshape(B, 1, c.n_embd)
+
+        op_tokens = jnp.tile(op_emb.embedding[None].astype(c.dtype), (B, 1, 1))
+        color_part = (color_action_tkn.astype(c.dtype)
+                      + color_emb.embedding[None].astype(c.dtype))
+        op_tokens = op_tokens.at[:, :c.num_colors].add(color_part)
+
+        cls = jnp.tile(cls_tkn.astype(c.dtype), (B, 1, 1))
+        x = jnp.concatenate([grid_t, inp_t, info, op_tokens, cls], axis=1)
+
+        grid_pad = ~jax.vmap(active_mask, in_axes=(0, None, None))(
+            grid_dim, c.grid_x, c.grid_y)
+        inp_pad = ~jax.vmap(active_mask, in_axes=(0, None, None))(
+            inp_dim, c.grid_x, c.grid_y)
+        fixed = jnp.zeros((B, 2 + c.num_actions), bool)
+        pad_mask = jnp.concatenate([grid_pad, inp_pad, fixed], axis=1)
+
+        x = nn.Dropout(c.embd_pdrop)(x, deterministic=deterministic)
+        for i in range(c.n_layer):
+            x = Block(c, name=f"block_{i}")(x, pad_mask, deterministic)
+        x = nn.LayerNorm(dtype=c.dtype, name="ln_f")(x)
+
+        # token slots (GPTPolicy.py act: ops at [-1-n_ops:-1], CLS last)
+        op_x = x[:, -1 - c.num_actions:-1]
+        cls_x = x[:, -1]
+        grid_x_tokens = x[:, :P]
+
+        op_logits = Head(1, c, name="head_operation")(op_x).squeeze(-1)
+        value = Head(1, c, name="head_critic")(cls_x).squeeze(-1)
+        rtm1 = Head(1, c, name="head_aux_rtm1")(cls_x).squeeze(-1)
+        r_pred = Head(1, c, name="head_aux_reward")(cls_x).squeeze(-1)
+        g_pred = Head(c.num_colors, c, name="head_aux_transition")(grid_x_tokens)
+        bbox_mean_all = Head(4, c, name="head_bbox_mean")(op_x)
+        bbox_std_all = Head(4, c, name="head_bbox_std")(op_x)
+
+        return {
+            "op_tokens": op_x.astype(jnp.float32),
+            "op_logits": op_logits.astype(jnp.float32),
+            "value": value,
+            "aux_rtm1": rtm1,
+            "aux_reward": r_pred,
+            "aux_transition": g_pred,
+            "bbox_mean_all": bbox_mean_all,
+            "bbox_std_all": bbox_std_all,
+        }
+
+    def heads_for_bbox(self, variables):
+        """Callables (mean, std) over a chosen op token, for bbox_dist."""
+        def head_mean(tok):
+            return self.apply(variables, tok, method=self._bbox_mean)
+
+        def head_std(tok):
+            return self.apply(variables, tok, method=self._bbox_std)
+
+        return head_mean, head_std
+
+    def _bbox_mean(self, tok):
+        return Head(4, self.cfg, name="head_bbox_mean")(tok)
+
+    def _bbox_std(self, tok):
+        return Head(4, self.cfg, name="head_bbox_std")(tok)

@@ -40,7 +40,9 @@ from ..core.state import EnvState, I8, I32
 from ..core.geometry import (
     bbox, inside_dims, row_col_iota, shift2d, window_mask, place_patch,
 )
-from ..core.floodfill import connected_component
+from ..core.floodfill import (
+    connected_component, connected_component_partial,
+)
 
 
 # --------------------------------------------------------------------------
@@ -118,8 +120,28 @@ def color_fill(state: EnvState, sel, pre, param, cfg) -> EnvState:
     return state.replace(grid=grid)
 
 
-def flood_fill(state: EnvState, sel, pre, param, cfg) -> EnvState:
-    """FloodFill0..9 (color.py:88-102)."""
+@dataclasses.dataclass(frozen=True)
+class FloodInfo:
+    """Precomputed flood-fill analysis shared into the FLOOD branch."""
+
+    valid: jax.Array      # bool [] - single-pixel-in-bounds rule holds
+    comp: jax.Array       # bool [H,W] - component mask (may be partial)
+    converged: jax.Array  # bool [] - comp is the full component
+
+
+jax.tree_util.register_dataclass(
+    FloodInfo, data_fields=["valid", "comp", "converged"], meta_fields=[])
+
+
+def flood_analysis(state: EnvState, pre: SelPre,
+                   unroll: int = 2) -> FloodInfo:
+    """FloodFill preconditions + partial component (color.py:88-99).
+
+    ``unroll`` fused sweeps resolve typical components with no control
+    flow; ``converged`` tells the caller whether a fixpoint fallback is
+    still needed (run at batch level behind a scalar cond, or via
+    :func:`finish_flood` for the single-env path).
+    """
     H, W = state.grid.shape
     gd = _d32(state.grid_dim)
     valid = (pre.total == 1) & (pre.px < gd[0]) & (pre.py < gd[1])
@@ -127,8 +149,30 @@ def flood_fill(state: EnvState, sel, pre, param, cfg) -> EnvState:
     region = (state.grid == seed_color) & inside_dims(state.grid_dim, H, W)
     rows, cols = row_col_iota(H, W)
     seed = (rows == pre.px) & (cols == pre.py)
-    comp = connected_component(region, seed)
-    grid = jnp.where(comp & valid, param.astype(I8), state.grid)
+    comp, conv = connected_component_partial(region, seed, unroll)
+    return FloodInfo(valid=valid, comp=comp, converged=conv)
+
+
+def full_component(grid: jax.Array, grid_dim: jax.Array,
+                   px: jax.Array, py: jax.Array) -> jax.Array:
+    """Fixpoint component for the fallback paths (the reference ``dfs``)."""
+    H, W = grid.shape
+    seed_color = grid[px, py]
+    region = (grid == seed_color) & inside_dims(grid_dim, H, W)
+    rows, cols = row_col_iota(H, W)
+    seed = (rows == px) & (cols == py)
+    return connected_component(region, seed)
+
+
+def flood_fill(state: EnvState, sel, pre, param, cfg,
+               flood: FloodInfo) -> EnvState:
+    """FloodFill0..9 (color.py:88-102) using precomputed analysis.
+
+    Writes only when the component is already complete; a deferred env
+    (valid but unconverged) leaves the grid untouched for the caller's
+    fixpoint fallback to patch."""
+    write = flood.valid & flood.converged
+    grid = jnp.where(flood.comp & write, param.astype(I8), state.grid)
     return state.replace(grid=grid)
 
 
@@ -235,14 +279,15 @@ def _transform_buffer(buf: jax.Array, kind: jax.Array,
     buffer and roll the result back to the origin; the zero invariant
     outside the patch makes this exact.
     """
+    from ..core.geometry import dyn_roll
     H, W = buf.shape
     ident = buf
-    rot90 = jnp.roll(jnp.rot90(buf, k=1), w - W, axis=0)
-    rot270 = jnp.roll(jnp.rot90(buf, k=3), h - H, axis=1)
-    fliph = jnp.roll(jnp.fliplr(buf), w - W, axis=1)
-    flipv = jnp.roll(jnp.flipud(buf), h - H, axis=0)
+    rot90 = dyn_roll(jnp.rot90(buf, k=1), w - W, 0)
+    rot270 = dyn_roll(jnp.rot90(buf, k=3), h - H, 1)
+    fliph = dyn_roll(jnp.fliplr(buf), w - W, 1)
+    flipv = dyn_roll(jnp.flipud(buf), h - H, 0)
     flipd0 = buf.T
-    flipd1 = jnp.roll(jnp.rot90(buf, k=2).T, (w - W, h - H), axis=(0, 1))
+    flipd1 = dyn_roll(dyn_roll(jnp.rot90(buf, k=2).T, w - W, 0), h - H, 1)
     return jax.lax.select_n(
         kind,
         ident, ident, ident, ident,      # moves keep the buffer

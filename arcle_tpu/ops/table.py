@@ -24,7 +24,10 @@ import jax.numpy as jnp
 
 from ..core.state import EnvState, Action, I8, I32
 from . import groups as g
-from .groups import G, OBJ, precompute_selection, answers_match
+from .groups import (
+    G, OBJ, precompute_selection, answers_match, flood_analysis,
+    full_component, FloodInfo,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -129,11 +132,11 @@ def o2arc_table(max_trial: int = -1, crop_at_33: bool = False,
     return _table(rows, name, max_trial)
 
 
-# Group index -> implementation, in G.* order.
+# Group index -> implementation, in G.* order (flood handled separately).
 _GROUP_FNS = (
     g.noop,             # 0 NOOP
     g.color_fill,       # 1
-    g.flood_fill,       # 2
+    None,               # 2 FLOOD (needs FloodInfo)
     g.object_op,        # 3
     g.copy_to_clip,     # 4
     g.paste_from_clip,  # 5
@@ -145,10 +148,20 @@ _GROUP_FNS = (
     g.resize_to_answer, # 11
 )
 
+FLOOD_UNROLL = 2
 
-def transition(state: EnvState, action: Action, table: OpTable) -> EnvState:
-    """Pure single-env transition: the TPU counterpart of the reference's
-    ``transition(state, action)`` hook (o2arcenv.py:149-151)."""
+
+def transition_deferred(state: EnvState, action: Action, table: OpTable):
+    """Pure single-env transition with *deferred* flood fill.
+
+    Returns ``(state', flood_pending)``: when the selected op is a flood
+    fill whose component did not converge within FLOOD_UNROLL sweeps, the
+    grid is left untouched and ``flood_pending`` is True — the caller
+    finishes it (batched callers via one scalar ``lax.cond`` over the
+    whole batch, see BatchedEnv.step; single-env via :func:`step`).
+    This keeps the expensive fixpoint ``while_loop`` out of the per-step
+    graph entirely in the common case.
+    """
     op = jnp.clip(action.operation.astype(I32), 0, table.n_ops - 1)
     grp = jnp.asarray(table.group, I32)[op]
     par = jnp.asarray(table.param, I32)[op]
@@ -164,8 +177,65 @@ def transition(state: EnvState, action: Action, table: OpTable) -> EnvState:
 
     sel = action.selection
     pre = precompute_selection(sel)
-    cands = [fn(state0, sel, pre, par, table) for fn in _GROUP_FNS]
-    return jax.tree.map(lambda *xs: jax.lax.select_n(grp, *xs), *cands)
+    has_flood = G.FLOOD in table.group
+    flood = flood_analysis(state0, pre, FLOOD_UNROLL) if has_flood else None
+    cands = []
+    for i, fn in enumerate(_GROUP_FNS):
+        if i == G.FLOOD:
+            # unused branch collapses to a no-op when the family has no
+            # flood ops (grp can never select it)
+            cands.append(g.flood_fill(state0, sel, pre, par, table, flood)
+                         if has_flood else state0)
+        else:
+            cands.append(fn(state0, sel, pre, par, table))
+    new = jax.tree.map(lambda *xs: jax.lax.select_n(grp, *xs), *cands)
+    if has_flood:
+        pending = (grp == G.FLOOD) & flood.valid & ~flood.converged
+    else:
+        pending = jnp.zeros((), bool)
+    return new, pending
+
+
+def finish_flood(state: EnvState, action: Action, table: OpTable,
+                 pending: jax.Array) -> EnvState:
+    """Complete a deferred flood fill: full fixpoint component + masked
+    color write.  Safe to run after reward/termination because flood ops
+    never affect either on their own step."""
+    op = jnp.clip(action.operation.astype(I32), 0, table.n_ops - 1)
+    par = jnp.asarray(table.param, I32)[op]
+    pre = precompute_selection(action.selection)
+    comp = full_component(state.grid, state.grid_dim, pre.px, pre.py)
+    grid = jnp.where(pending & comp, par.astype(I8), state.grid)
+    return state.replace(grid=grid)
+
+
+def transition(state: EnvState, action: Action, table: OpTable) -> EnvState:
+    """Pure single-env transition: the TPU counterpart of the reference's
+    ``transition(state, action)`` hook (o2arcenv.py:149-151).  Flood fill
+    is completed inline (scalar ``cond`` — executes the fixpoint loop only
+    when actually needed; note that under ``vmap`` the cond becomes a
+    select and both branches run — batched callers should prefer
+    ``transition_deferred`` + ``finish_flood``)."""
+    new, pending = transition_deferred(state, action, table)
+    if isinstance(pending, jax.Array) and pending.shape == ():
+        return jax.lax.cond(
+            pending,
+            lambda s: finish_flood(s, action, table, jnp.asarray(True)),
+            lambda s: s,
+            new)
+    return new
+
+
+def _finish_step(state: EnvState, s2: EnvState, op, table: OpTable):
+    reward = jnp.where(
+        (op == table.submit_op) & answers_match(s2), 1.0, 0.0
+    ).astype(jnp.float32)
+    s2 = s2.replace(
+        steps=state.steps + 1,
+        last_action_op=op,
+        last_reward=reward,
+    )
+    return s2, reward, s2.terminated != 0
 
 
 def step(state: EnvState, action: Action, table: OpTable):
@@ -177,15 +247,17 @@ def step(state: EnvState, action: Action, table: OpTable):
     """
     op = jnp.clip(action.operation.astype(I32), 0, table.n_ops - 1)
     s2 = transition(state, action, table)
-    reward = jnp.where(
-        (op == table.submit_op) & answers_match(s2), 1.0, 0.0
-    ).astype(jnp.float32)
-    s2 = s2.replace(
-        steps=state.steps + 1,
-        last_action_op=op,
-        last_reward=reward,
-    )
-    return s2, reward, s2.terminated != 0
+    return _finish_step(state, s2, op, table)
+
+
+def step_deferred(state: EnvState, action: Action, table: OpTable):
+    """Like :func:`step` but with deferred flood fill: returns
+    ``(state, reward, terminated, flood_pending)``.  Reward/termination are
+    exact even before the flood patch (flood ops produce neither)."""
+    op = jnp.clip(action.operation.astype(I32), 0, table.n_ops - 1)
+    s2, pending = transition_deferred(state, action, table)
+    s2, reward, term = _finish_step(state, s2, op, table)
+    return s2, reward, term, pending
 
 
 def dense_reward(state_after: EnvState, sparse: jax.Array) -> jax.Array:

@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Benchmark: O2ARCv2 env-steps/s at 4096 lockstep envs on one chip.
+
+Rollout shape mirrors the training hot path: a ``lax.scan`` over T steps,
+each step drawing random bbox actions on device (the BBoxWrapper action
+surface, 5 ints -> selection mask) and stepping the full 35-op fused
+transition with auto-reset.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "env-steps/s", "vs_baseline": N}
+
+``vs_baseline`` is the speedup over the *reference implementation*
+(ConfeitoHS/arcle, pure NumPy, single env) measured in-process on this
+machine — the reference publishes no throughput numbers of its own
+(SURVEY.md §6), so its measured step rate is the honest baseline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_reference_numpy(n_steps: int = 3000, seed: int = 0) -> float:
+    """Step rate of the reference env (fallback: the validated oracle)."""
+    rng = np.random.default_rng(seed)
+    inp = rng.integers(0, 10, (12, 12)).astype(np.int8)
+    out = rng.integers(0, 10, (12, 12)).astype(np.int8)
+
+    def random_action():
+        x1, x2 = sorted(rng.integers(0, 30, 2).tolist())
+        y1, y2 = sorted(rng.integers(0, 30, 2).tolist())
+        sel = np.zeros((30, 30), np.int8)
+        sel[x1:x2 + 1, y1:y2 + 1] = 1
+        return sel, int(rng.integers(0, 35))
+
+    try:
+        sys.path.insert(0, "/root/reference")
+        from arcle.envs.o2arcenv import O2ARCv2Env as RefEnv
+        from arcle.loaders import Loader
+
+        class OneTask(Loader):
+            def get_path(self, **kw):
+                return ["<mem>"]
+
+            def parse(self, **kw):
+                return [([inp], [out], [inp], [out], {"id": "bench"})]
+
+        env = RefEnv(data_loader=OneTask(), max_trial=-1)
+        env.reset(options={"prob_index": 0, "subprob_index": 0})
+        t0 = time.perf_counter()
+        done_steps = 0
+        while done_steps < n_steps:
+            sel, op = random_action()
+            _, _, term, _, _ = env.step({"selection": sel, "operation": op})
+            done_steps += 1
+            if term:
+                env.reset(options={"prob_index": 0, "subprob_index": 0})
+        dt = time.perf_counter() - t0
+        log(f"reference numpy single-env: {done_steps / dt:,.0f} steps/s")
+        return done_steps / dt
+    except Exception as e:  # pragma: no cover
+        log(f"reference not runnable ({e}); using NumPy oracle as baseline")
+        from arcle_tpu.oracle import OracleEnv
+        env = OracleEnv("o2arc", max_trial=-1)
+        env.reset(inp, out)
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            sel, op = random_action()
+            _, _, term = env.step(sel, op)
+            if term:
+                env.reset(inp, out)
+        dt = time.perf_counter() - t0
+        log(f"oracle numpy single-env: {n_steps / dt:,.0f} steps/s")
+        return n_steps / dt
+
+
+def bench_tpu(batch: int, steps: int, iters: int, seed: int = 0) -> float:
+    import jax
+    import jax.numpy as jnp
+    from arcle_tpu.core.state import Action
+    from arcle_tpu.core.geometry import bbox_selection
+    from arcle_tpu.envs import BatchedEnv
+    from arcle_tpu.loaders import SyntheticLoader
+    from arcle_tpu.ops import o2arc_table
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {dev.device_kind}")
+
+    env = BatchedEnv(table=o2arc_table(max_trial=-1),
+                     bank=SyntheticLoader(16, seed=3).bank(),
+                     max_trial=-1, episode_limit=100, auto_reset=True)
+
+    H = W = 30
+
+    def random_actions(key, n_ops):
+        k1, k2 = jax.random.split(key)
+        corners = jax.random.randint(k1, (4, batch), 0, H)
+        ops = jax.random.randint(k2, (batch,), 0, n_ops)
+        sels = jax.vmap(bbox_selection, in_axes=(0, 0, 0, 0, None, None))(
+            corners[0], corners[1], corners[2], corners[3], H, W)
+        return Action(selection=sels, operation=ops)
+
+    # NOTE: the env rides through jit as an explicit pytree argument —
+    # closing over device arrays is pathological on the axon runtime
+    # (see BatchedEnv docstring).
+    def rollout(env, bs, key):
+        def body(carry, _):
+            bs, key = carry
+            key, ka = jax.random.split(key)
+            act = random_actions(ka, env.table.n_ops)
+            bs, _obs, rew, term, trunc = env.step(bs, act)
+            return (bs, key), rew.sum()
+
+        (bs, key), rews = jax.lax.scan(body, (bs, key), None, length=steps)
+        # scalar checksum over the final carry: forcing its host readback is
+        # the only reliable completion barrier on the axon runtime
+        # (block_until_ready returns before the work drains there)
+        chk = (jnp.sum(bs.env.grid.astype(jnp.int32)) + jnp.sum(bs.env.steps)
+               + rews.sum().astype(jnp.int32))
+        return bs, key, chk
+
+    rollout_j = jax.jit(rollout)
+
+    key = jax.random.key(seed)
+    bs = env.reset(key, batch)
+    t0 = time.perf_counter()
+    bs, key, chk = rollout_j(env, bs, key)
+    chk = int(chk)
+    log(f"compile + first rollout: {time.perf_counter() - t0:.1f}s")
+
+    best = 0.0
+    for it in range(iters):
+        t0 = time.perf_counter()
+        bs, key, chk = rollout_j(env, bs, key)
+        chk = int(chk)   # host readback = completion barrier
+        dt = time.perf_counter() - t0
+        rate = batch * steps / dt
+        log(f"iter {it}: {rate:,.0f} env-steps/s ({dt * 1e3:.1f} ms "
+            f"for {batch}x{steps}, chk={chk})")
+        best = max(best, rate)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--ref-steps", type=int, default=3000)
+    ap.add_argument("--skip-ref", action="store_true")
+    args = ap.parse_args()
+
+    if args.skip_ref:
+        ref_rate = 1.0
+    else:
+        ref_rate = bench_reference_numpy(args.ref_steps)
+
+    rate = bench_tpu(args.batch, args.steps, args.iters)
+
+    print(json.dumps({
+        "metric": f"O2ARCv2 env-steps/s @ {args.batch} lockstep envs "
+                  f"(random bbox actions, auto-reset)",
+        "value": round(rate),
+        "unit": "env-steps/s",
+        "vs_baseline": round(rate / ref_rate, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

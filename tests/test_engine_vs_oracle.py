@@ -147,3 +147,73 @@ def test_vmap_matches_single():
             lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
             batched, single)
         assert all(jax.tree.leaves(chex_equal)), (t, chex_equal)
+
+
+def test_deferred_flood_matches_full():
+    """The batched deferred-flood path must equal the inline path even on
+    adversarial components needing many sweeps (spiral)."""
+    from arcle_tpu.ops import step_deferred, finish_flood
+    table = o2arc_table(max_trial=-1)
+
+    # serpentine corridor of color 1: 15 horizontal legs joined alternately
+    # at the ends -> needs ~15 sweeps, far beyond the unrolled count
+    g = np.full((30, 30), 2, np.int8)
+    for r in range(0, 30, 2):
+        g[r, :] = 1
+    for i, r in enumerate(range(1, 29, 2)):
+        g[r, 29 if i % 2 == 0 else 0] = 1
+    inp = g
+    out = np.ones((3, 3), np.int8)
+    js = jax_state_from(inp, out, -1)
+
+    sel = np.zeros((30, 30), np.int8)
+    sel[0, 0] = 1  # seed inside the spiral
+    act = Action(selection=jnp.asarray(sel), operation=jnp.asarray(14, jnp.int32))
+
+    # oracle ground truth
+    orc = OracleEnv("o2arc", max_trial=-1)
+    orc.reset(inp, out)
+    ostate, _, _ = orc.step(sel, 14)
+
+    # inline path
+    js1, _, _ = jax.jit(step, static_argnums=2)(js, act, table)
+    np.testing.assert_array_equal(np.asarray(js1.grid), ostate["grid"])
+
+    # deferred + fixup path
+    js2, rew, term, pending = jax.jit(step_deferred, static_argnums=2)(
+        js, act, table)
+    assert bool(pending)   # spiral must exceed the unrolled sweeps
+    js2 = jax.jit(finish_flood, static_argnums=2)(js2, act, table, pending)
+    np.testing.assert_array_equal(np.asarray(js2.grid), ostate["grid"])
+
+
+def test_batched_env_deferred_flood():
+    """BatchedEnv.step (cond-gated fixup) agrees with vmapped step."""
+    from arcle_tpu.envs import BatchedEnv
+    from arcle_tpu.loaders import ListLoader
+
+    # one env floods a spiral (needs fallback), others do normal ops
+    g = np.full((12, 12), 2, np.int8)
+    for k in range(0, 6, 2):
+        g[k, k:12 - k] = 1
+        g[k:12 - k, 11 - k] = 1
+    tasks = [([g], [g], [g], [g], {"id": "s"})]
+    env = BatchedEnv(table=o2arc_table(max_trial=-1),
+                     bank=ListLoader(tasks).bank(), max_trial=-1,
+                     episode_limit=0, auto_reset=False)
+    B = 4
+    bs = env.reset(jax.random.key(0), B)
+    sels = np.zeros((B, 30, 30), np.int8)
+    sels[0, 0, 0] = 1            # flood seed on spiral
+    sels[1, 2, 2] = 1
+    sels[2, :3, :3] = 1
+    ops = np.array([14, 13, 5, 31], np.int32)
+    act = Action(selection=jnp.asarray(sels), operation=jnp.asarray(ops))
+    bs2, obs, rew, term, trunc = jax.jit(type(env).step)(env, bs, act)
+
+    vstep = jax.vmap(step, in_axes=(0, 0, None))
+    ref_env, ref_rew, ref_term = jax.jit(vstep, static_argnums=2)(
+        bs.env, act, env.table)
+    np.testing.assert_array_equal(np.asarray(bs2.env.grid),
+                                  np.asarray(ref_env.grid))
+    np.testing.assert_array_equal(np.asarray(rew), np.asarray(ref_rew))
