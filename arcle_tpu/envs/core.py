@@ -48,9 +48,13 @@ class ResetOptions:
 
 
 def reset(bank: TaskBank, key: jax.Array, opts: ResetOptions,
-          max_trial: int = -1) -> EnvState:
-    """Fresh state for one env: pick (task, pair) and initialize."""
-    kp, ks = jax.random.split(key)
+          max_trial: int = -1, augment: bool = False) -> EnvState:
+    """Fresh state for one env: pick (task, pair) and initialize.
+
+    ``augment`` applies the meta-RL reset-time augmentation (random rot90 +
+    color permutation, agents/env.py:31-42) to the chosen pair.
+    """
+    kp, ks, ka = jax.random.split(key, 3)
     prob = jnp.where(
         opts.prob_index >= 0, opts.prob_index,
         jax.random.randint(kp, (), 0, bank.n_tasks))
@@ -59,9 +63,14 @@ def reset(bank: TaskBank, key: jax.Array, opts: ResetOptions,
         opts.subprob_index >= 0, opts.subprob_index,
         jax.random.randint(ks, (), 0, jnp.maximum(count, 1)))
     flat = bank.pair_index(prob, sub, opts.adaptation)
+    grid, dim = bank.in_grids[flat], bank.in_dims[flat]
+    answer, answer_dim = bank.out_grids[flat], bank.out_dims[flat]
+    if augment:
+        from .meta import augment_task
+        grid, dim, answer, answer_dim = augment_task(
+            ka, grid, dim, answer, answer_dim)
     st = init_state(
-        bank.in_grids[flat], bank.in_dims[flat],
-        bank.out_grids[flat], bank.out_dims[flat],
+        grid, dim, answer, answer_dim,
         max_trial=jnp.asarray(max_trial, I8),
         reset_on_submit=opts.reset_on_submit.astype(I8),
     )
@@ -117,13 +126,23 @@ class BatchedEnv:
     max_trial: int = -1
     episode_limit: int = 0          # 0 = unlimited
     auto_reset: bool = True
+    dense_reward: bool = False      # CustomO2ARCEnv shaping (env.py:44-58)
+    augment: bool = False           # reset-time rot90+recolor (env.py:31-42)
     opts: ResetOptions = dataclasses.field(
         default_factory=lambda: ResetOptions.make())
 
+    def _opts_axes(self):
+        """Per-env options: leaves with a leading axis are mapped (used by
+        the meta-RL layer to pin one task per env shard), scalars broadcast."""
+        return jax.tree.map(lambda x: 0 if jnp.ndim(x) > 0 else None,
+                            self.opts)
+
     def reset(self, key: jax.Array, batch: int) -> BatchedState:
         keys = jax.random.split(key, batch + 1)
-        env = jax.vmap(lambda k: reset(self.bank, k, self.opts,
-                                       self.max_trial))(keys[1:])
+        env = jax.vmap(
+            lambda k, o: reset(self.bank, k, o, self.max_trial,
+                               self.augment),
+            in_axes=(0, self._opts_axes()))(keys[1:], self.opts)
         return BatchedState(env=env, key=jax.random.split(keys[0], batch))
 
     def step(self, bs: BatchedState, action: Action
@@ -149,6 +168,10 @@ class BatchedEnv:
         env2 = jax.lax.cond(
             jnp.any(pending), flood_fixup, lambda a: a[0], (env2, action))
 
+        if self.dense_reward:
+            from ..ops.table import dense_reward as _dense
+            reward = jax.vmap(_dense)(env2, reward)
+
         if self.episode_limit > 0:
             trunc = env2.steps >= self.episode_limit
         else:
@@ -162,9 +185,10 @@ class BatchedEnv:
             env2, keys = args
             split = jax.vmap(jax.random.split)(keys)   # [B, 2, 2]
             next_key, reset_key = split[:, 0], split[:, 1]
-            fresh = jax.vmap(lambda k, b: reset(b, k, self.opts,
-                                                self.max_trial),
-                             in_axes=(0, None))(reset_key, self.bank)
+            fresh = jax.vmap(lambda k, b, o: reset(b, k, o, self.max_trial,
+                                                   self.augment),
+                             in_axes=(0, None, self._opts_axes()))(
+                reset_key, self.bank, self.opts)
             env3 = jax.tree.map(
                 lambda a, b: jnp.where(
                     done.reshape((-1,) + (1,) * (a.ndim - 1)), b, a),
@@ -180,7 +204,8 @@ class BatchedEnv:
 jax.tree_util.register_dataclass(
     BatchedEnv,
     data_fields=["bank", "opts"],
-    meta_fields=["table", "max_trial", "episode_limit", "auto_reset"],
+    meta_fields=["table", "max_trial", "episode_limit", "auto_reset",
+                 "dense_reward", "augment"],
 )
 
 # jit-friendly free-function aliases: the env rides along as a pytree arg.

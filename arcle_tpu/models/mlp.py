@@ -43,9 +43,8 @@ class FCPolicy(nn.Module):
         value = nn.Dense(1, dtype=jnp.float32,
                          kernel_init=nn.initializers.orthogonal(1.0),
                          name="vf")(x).squeeze(-1)
-        splits = jnp.split(logits, list(jnp.cumsum(jnp.array(sizes))[:-1]),
-                           axis=-1)
-        return tuple(splits), value
+        bounds = [sum(sizes[:i + 1]) for i in range(len(sizes) - 1)]
+        return tuple(jnp.split(logits, bounds, axis=-1)), value
 
 
 def multi_categorical_sample(key, logits_tuple):

@@ -1,0 +1,64 @@
+"""GPT training driver — counterpart of /root/reference/agents/train_gpt.py.
+
+Same skeleton as the MLP driver but with the transformer policy
+(8 layers / 16 heads / 128 embd, train_gpt.py:65-80 == gptconfig.yaml),
+the full flattened observation (no FilterO2ARC), and the autoregressive
+operation+bbox action head.
+
+Run:  python -m arcle_tpu.training.train_gpt --iterations 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..models.gpt import GPTConfig
+from ..training.ppo import PPOConfig
+from ..training.emaml import EMAMLConfig
+from ..utils.config import RunConfig, EnvConfig
+from ..utils.metrics import MetricLogger
+from .train import run_ppo, run_emaml
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--algo", default="emaml", choices=["ppo", "emaml"])
+    ap.add_argument("--iterations", type=int, default=1000)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--dataset", default="synthetic")
+    ap.add_argument("--log-file", default="train_gpt_log.jsonl")
+    ap.add_argument("--ckpt-dir", default="./ckpts_gpt")
+    ap.add_argument("--smoke", action="store_true")
+    args = ap.parse_args(argv)
+
+    gpt = GPTConfig() if not args.smoke else GPTConfig(
+        n_layer=2, n_head=4, n_embd=32)
+    cfg = RunConfig(
+        seed=args.seed, algo=args.algo, model="gpt",
+        total_iterations=args.iterations,
+        checkpoint_every=0 if args.smoke else 5,    # train_gpt.py:177-178
+        checkpoint_dir=args.ckpt_dir,
+        env=EnvConfig(family="o2arc_crop33", max_trial=7,
+                      episode_limit=10 if args.smoke else 100,
+                      n_envs=8 if args.smoke else 64,
+                      dataset=args.dataset,
+                      n_synthetic_tasks=8 if args.smoke else 32),
+        ppo=PPOConfig(n_epochs=1, n_minibatches=1),
+        # 2 workers x batch 100 in the reference (train_gpt.py:112-114)
+        emaml=EMAMLConfig(
+            n_tasks=2, envs_per_task=4,
+            rollout_steps=10 if args.smoke else 25,
+            inner_steps=1 if args.smoke else 2,
+            maml_opt_steps=1, first_order=True),
+        gpt=gpt)
+    print(cfg.to_json(), file=sys.stderr)
+    logger = MetricLogger(args.log_file)
+    if cfg.algo == "ppo":
+        run_ppo(cfg, logger)
+    else:
+        run_emaml(cfg, logger)
+
+
+if __name__ == "__main__":
+    main()

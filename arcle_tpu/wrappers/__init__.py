@@ -67,6 +67,50 @@ def flatten_obs(state: EnvState) -> jax.Array:
     return jnp.concatenate([f.astype(jnp.float32) for f in flat], axis=-1)
 
 
+# Full 16-field flattening in the reference's FlattenObservation order
+# (GPTPolicy.unflatten_vec hard-codes it, GPTPolicy.py:17-42): Dict keys
+# alphabetical with object_states nested between input_dim and selected.
+FULL_OBS_FIELDS = (
+    ("clip", 900), ("clip_dim", 2), ("grid", 900), ("grid_dim", 2),
+    ("input", 900), ("input_dim", 2), ("active", 1), ("background", 900),
+    ("object", 900), ("object_dim", 2), ("object_pos", 2),
+    ("object_sel", 900), ("rotation_parity", 1), ("selected", 900),
+    ("terminated", 1), ("trials_remain", 1),
+)
+FULL_OBS_DIM = sum(n for _, n in FULL_OBS_FIELDS)   # 5314
+
+
+def full_flatten_obs(state: EnvState) -> jax.Array:
+    """Full observation vector (the GPT training path, which does not use
+    FilterO2ARC — train_gpt.py feeds the complete flattened dict)."""
+    flat = []
+    for k, n in FULL_OBS_FIELDS:
+        v = getattr(state, k)
+        if n == 900:
+            flat.append(v.reshape(*v.shape[:-2], -1))
+        elif n == 2:
+            flat.append(v)
+        else:
+            flat.append(v[..., None])
+    return jnp.concatenate([f.astype(jnp.float32) for f in flat], axis=-1)
+
+
+def unflatten_full(obs: jax.Array, H: int = 30, W: int = 30):
+    """Inverse of :func:`full_flatten_obs` -> dict of int arrays
+    (GPTPolicy.unflatten_vec counterpart)."""
+    out = {}
+    ofs = 0
+    for k, n in FULL_OBS_FIELDS:
+        v = obs[..., ofs:ofs + n]
+        ofs += n
+        if n == 900:
+            v = v.reshape(*v.shape[:-1], H, W)
+        elif n == 1:
+            v = v.squeeze(-1)
+        out[k] = v.astype(jnp.int32)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Gymnasium wrappers (compat layer)
 # ---------------------------------------------------------------------------
@@ -151,5 +195,6 @@ class FilterO2ARC(gym.ObservationWrapper):
 __all__ = [
     "bbox_action", "point_action", "batched_bbox_action",
     "batched_point_action", "filter_obs", "flatten_obs",
+    "full_flatten_obs", "unflatten_full", "FULL_OBS_DIM",
     "FILTER_O2ARC_KEYS", "BBoxWrapper", "PointWrapper", "FilterO2ARC",
 ]

@@ -1,0 +1,90 @@
+"""Multi-device sharding: env batch over a mesh, sharded PPO step,
+graft entry points (8 virtual CPU devices via conftest)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from arcle_tpu.core.state import Action
+from arcle_tpu.envs import BatchedEnv
+from arcle_tpu.loaders import SyntheticLoader
+from arcle_tpu.ops import o2arc_table
+from arcle_tpu.parallel import (
+    make_mesh, data_model_mesh, shard_leading, replicate, shard_params_tp,
+)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def test_sharded_env_step_matches_single_device():
+    mesh = make_mesh((8,), ("data",))
+    env = BatchedEnv(table=o2arc_table(max_trial=3),
+                     bank=SyntheticLoader(4, seed=0).bank(), max_trial=3,
+                     episode_limit=20, auto_reset=True)
+    B = 32
+    bs = env.reset(jax.random.key(0), B)
+    rng = np.random.default_rng(0)
+    sels = rng.integers(0, 2, (B, 30, 30)).astype(np.int8)
+    ops = rng.integers(0, 35, (B,)).astype(np.int32)
+    act = Action(selection=jnp.asarray(sels), operation=jnp.asarray(ops))
+
+    # unsharded result
+    out1 = jax.jit(type(env).step)(env, bs, act)
+
+    # sharded: envs + action over the data axis
+    bs_s = shard_leading(bs, mesh, "data")
+    act_s = shard_leading(act, mesh, "data")
+    env_s = shard_leading(env, mesh, "data")  # bank small -> replicated
+    with mesh:
+        out2 = jax.jit(type(env).step)(env_s, bs_s, act_s)
+
+    def raw(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+            x = jax.random.key_data(x)
+        return np.asarray(x)
+
+    for a, b in zip(jax.tree.leaves(out1), jax.tree.leaves(out2)):
+        np.testing.assert_array_equal(raw(a), raw(b))
+    # the carry really is sharded over devices
+    assert len(out2[0].env.grid.sharding.device_set) == 8
+
+
+def test_scaling_efficiency_smoke():
+    """Throughput harness shape: same per-device batch, more devices —
+    just checks the sharded rollout runs and returns finite numbers on the
+    virtual mesh (true scaling measured on real hardware by bench)."""
+    from arcle_tpu.training import mlp_agent, rollout
+    from arcle_tpu.models import FCPolicy
+
+    mesh = make_mesh((8,), ("data",))
+    env = BatchedEnv(table=o2arc_table(max_trial=3),
+                     bank=SyntheticLoader(4, seed=1).bank(), max_trial=3,
+                     episode_limit=10, auto_reset=True)
+    agent = mlp_agent(FCPolicy(hidden=(32,), n_ops=35))
+    B = 16
+    bs = env.reset(jax.random.key(0), B)
+    params = agent.init_fn(jax.random.key(1),
+                           agent.obs_fn(jax.tree.map(lambda x: x[:1],
+                                                     bs.env)))
+    bs = shard_leading(bs, mesh, "data")
+    params = replicate(params, mesh)
+    with mesh:
+        bs, traj, last_v = jax.jit(
+            rollout, static_argnums=(4, 5))(env, bs, params,
+                                            jax.random.key(2), 5, agent)
+    assert np.isfinite(np.asarray(traj.rewards)).all()
+
+
+def test_graft_entry_points():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*args)
+    assert out[0].shape[-1] == 35
+
+    __graft_entry__.dryrun_multichip(8)
