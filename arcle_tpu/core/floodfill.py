@@ -39,12 +39,25 @@ def _line_combine(left, right):
 
 
 def _propagate_axis(mask: jax.Array, region: jax.Array, axis: int) -> jax.Array:
-    """One forward+backward reachability pass along ``axis``."""
+    """One forward+backward reachability pass along ``axis``.
+
+    Within-run reachability along a line is a segmented prefix-any:
+    runs are maximal stretches of ``region``; a cell is reached if any
+    seed lies in its run before (after) it.  With run ids from a cumsum
+    of ``~region``, a single ``cummax`` of ``seed ? run_id : -1`` gives
+    the forward pass (native TPU cumulative ops — cheaper than the
+    log-depth associative scan over (any, region) pairs).
+    """
     seed = mask & region
-    fwd, _ = jax.lax.associative_scan(_line_combine, (seed, region), axis=axis)
-    bwd, _ = jax.lax.associative_scan(_line_combine, (seed, region), axis=axis,
-                                      reverse=True)
-    return mask | fwd | bwd
+    run_id = jnp.cumsum((~region).astype(jnp.int32), axis=axis)
+    # run ids are nondecreasing along the axis: a prefix-max of seed ids
+    # equals the cell's id iff a same-run seed lies before it; a suffix-MIN
+    # (not max — later runs have larger ids) handles the other direction.
+    fwd = jax.lax.cummax(jnp.where(seed, run_id, -1), axis=axis) == run_id
+    big = jnp.asarray(1 << 20, jnp.int32)
+    bwd = jax.lax.cummin(jnp.where(seed, run_id, big), axis=axis,
+                         reverse=True) == run_id
+    return mask | (region & (fwd | bwd))
 
 
 def sweep(mask: jax.Array, region: jax.Array) -> jax.Array:

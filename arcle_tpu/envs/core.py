@@ -208,6 +208,26 @@ jax.tree_util.register_dataclass(
                  "dense_reward", "augment"],
 )
 
+
+def flatten_grids(tree, H: int = 30, W: int = 30):
+    """Reshape every [..., H, W] leaf to [..., H*W].
+
+    int8 HxW arrays tile to (32, 128) on TPU — 4.5x physical padding; the
+    flat form pads 900 -> 1024 lanes (1.14x), so long-lived state (e.g. a
+    rollout scan carry) is ~4x cheaper to stream.  Pair with
+    :func:`unflatten_grids` around the step."""
+    return jax.tree.map(
+        lambda x: x.reshape(*x.shape[:-2], H * W)
+        if hasattr(x, "ndim") and x.ndim >= 2 and x.shape[-2:] == (H, W)
+        else x, tree)
+
+
+def unflatten_grids(tree, H: int = 30, W: int = 30):
+    return jax.tree.map(
+        lambda x: x.reshape(*x.shape[:-1], H, W)
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[-1] == H * W
+        else x, tree)
+
 # jit-friendly free-function aliases: the env rides along as a pytree arg.
 batched_reset = BatchedEnv.reset
 batched_step = BatchedEnv.step

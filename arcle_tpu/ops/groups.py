@@ -103,6 +103,43 @@ def precompute_selection(sel: jax.Array) -> SelPre:
     )
 
 
+@dataclasses.dataclass(frozen=True)
+class Shared:
+    """Expensive sub-computations shared across group candidates (they are
+    all evaluated every step under the select-all dispatch, so every
+    duplicated 5-stage dynamic roll costs real bandwidth).
+
+    ``grid_sh`` / ``selp_sh`` / ``input_sh`` are the grid / truthy
+    selection / input arrays shifted so the selection bbox corner sits at
+    the origin — used identically by the object-selection init
+    (object.py:77-84), Copy (object.py:310-312), and CropGrid
+    (critical.py:59-63).
+    """
+
+    grid_sh: jax.Array    # i8 [H,W]
+    selp_sh: jax.Array    # bool [H,W]
+    input_sh: jax.Array   # i8 [H,W]
+    match: jax.Array      # bool [] - answers_match on the pre-op state
+    flood: object         # FloodInfo | None
+
+
+jax.tree_util.register_dataclass(
+    Shared,
+    data_fields=["grid_sh", "selp_sh", "input_sh", "match", "flood"],
+    meta_fields=[])
+
+
+def precompute_shared(state: EnvState, sel: jax.Array, pre: SelPre,
+                      flood) -> Shared:
+    return Shared(
+        grid_sh=shift2d(state.grid, -pre.rmin, -pre.cmin),
+        selp_sh=shift2d((sel != 0).astype(I8), -pre.rmin, -pre.cmin) != 0,
+        input_sh=shift2d(state.input, -pre.rmin, -pre.cmin),
+        match=answers_match(state),
+        flood=flood,
+    )
+
+
 def _d32(v: jax.Array) -> jax.Array:
     return v.astype(I32)
 
@@ -110,11 +147,11 @@ def _d32(v: jax.Array) -> jax.Array:
 # --------------------------------------------------------------------------
 # Simple groups
 # --------------------------------------------------------------------------
-def noop(state: EnvState, sel, pre, param, cfg) -> EnvState:
+def noop(state: EnvState, sel, pre, param, cfg, shared) -> EnvState:
     return state
 
 
-def color_fill(state: EnvState, sel, pre, param, cfg) -> EnvState:
+def color_fill(state: EnvState, sel, pre, param, cfg, shared) -> EnvState:
     """Color0..9: masked fill, intentionally not clipped to grid_dim."""
     grid = jnp.where(sel != 0, param.astype(I8), state.grid)
     return state.replace(grid=grid)
@@ -164,29 +201,29 @@ def full_component(grid: jax.Array, grid_dim: jax.Array,
     return connected_component(region, seed)
 
 
-def flood_fill(state: EnvState, sel, pre, param, cfg,
-               flood: FloodInfo) -> EnvState:
+def flood_fill(state: EnvState, sel, pre, param, cfg, shared) -> EnvState:
     """FloodFill0..9 (color.py:88-102) using precomputed analysis.
 
     Writes only when the component is already complete; a deferred env
     (valid but unconverged) leaves the grid untouched for the caller's
     fixpoint fallback to patch."""
+    flood = shared.flood
     write = flood.valid & flood.converged
     grid = jnp.where(flood.comp & write, param.astype(I8), state.grid)
     return state.replace(grid=grid)
 
 
-def copy_from_input(state: EnvState, sel, pre, param, cfg) -> EnvState:
+def copy_from_input(state: EnvState, sel, pre, param, cfg, shared) -> EnvState:
     """critical.py:19-29: grid <- input (full frame), grid_dim <- input_dim."""
     return state.replace(grid=state.input, grid_dim=state.input_dim)
 
 
-def reset_grid(state: EnvState, sel, pre, param, cfg) -> EnvState:
+def reset_grid(state: EnvState, sel, pre, param, cfg, shared) -> EnvState:
     """critical.py:8-17: zero the grid, keep dims."""
     return state.replace(grid=jnp.zeros_like(state.grid))
 
 
-def resize_grid(state: EnvState, sel, pre, param, cfg) -> EnvState:
+def resize_grid(state: EnvState, sel, pre, param, cfg, shared) -> EnvState:
     """critical.py:31-46: grid_dim <- bbox(sel) size, grid zeroed."""
     h = pre.rmax - pre.rmin + 1
     w = pre.cmax - pre.cmin + 1
@@ -197,18 +234,16 @@ def resize_grid(state: EnvState, sel, pre, param, cfg) -> EnvState:
     )
 
 
-def crop_grid(state: EnvState, sel, pre, param, cfg) -> EnvState:
+def crop_grid(state: EnvState, sel, pre, param, cfg, shared) -> EnvState:
     """critical.py:48-66: extract selected nonzero cells of bbox(sel) to the
     origin and shrink dims (installed as op 33 by the agents env)."""
     H, W = state.grid.shape
     h = pre.rmax - pre.rmin + 1
     w = pre.cmax - pre.cmin + 1
-    grid_sh = shift2d(state.grid, -pre.rmin, -pre.cmin)
-    sel_sh = shift2d(sel, -pre.rmin, -pre.cmin)
     rows, cols = row_col_iota(H, W)
     win = (rows < h) & (cols < w)
-    keep = win & (sel_sh != 0) & (grid_sh != 0)
-    patch = jnp.where(keep, grid_sh, 0).astype(I8)
+    keep = win & shared.selp_sh & (shared.grid_sh != 0)
+    patch = jnp.where(keep, shared.grid_sh, 0).astype(I8)
     new_dim = jnp.stack([h, w]).astype(I8)
     return state.replace(
         grid=jnp.where(pre.any, patch, state.grid),
@@ -216,7 +251,7 @@ def crop_grid(state: EnvState, sel, pre, param, cfg) -> EnvState:
     )
 
 
-def resize_to_answer(state: EnvState, sel, pre, param, cfg) -> EnvState:
+def resize_to_answer(state: EnvState, sel, pre, param, cfg, shared) -> EnvState:
     """RawARCEnv op 10 (arcenv.py:31-35): dims <- answer shape, zero outside."""
     H, W = state.grid.shape
     grid = jnp.where(inside_dims(state.answer_dim, H, W), state.grid, 0)
@@ -226,21 +261,19 @@ def resize_to_answer(state: EnvState, sel, pre, param, cfg) -> EnvState:
 # --------------------------------------------------------------------------
 # Clipboard
 # --------------------------------------------------------------------------
-def copy_to_clip(state: EnvState, sel, pre, param, cfg) -> EnvState:
+def copy_to_clip(state: EnvState, sel, pre, param, cfg, shared) -> EnvState:
     """Copy_I (param=0) / Copy_O (param=1), object.py:281-314."""
     H, W = state.grid.shape
-    src = jnp.where(param == 0, state.input, state.grid)
     src_dim = jnp.where(param == 0, _d32(state.input_dim), _d32(state.grid_dim))
     # Strictly-greater bound kept for reference parity (object.py:301).
     oob = (pre.rmax > src_dim[0]) | (pre.cmax > src_dim[1])
     valid = pre.any & ~oob
     h = pre.rmax - pre.rmin + 1
     w = pre.cmax - pre.cmin + 1
-    src_sh = shift2d(src, -pre.rmin, -pre.cmin)
-    sel_sh = shift2d(sel, -pre.rmin, -pre.cmin)
+    src_sh = jnp.where(param == 0, shared.input_sh, shared.grid_sh)
     rows, cols = row_col_iota(H, W)
     win = (rows < h) & (cols < w)
-    keep = win & (src_sh != 0) & (sel_sh != 0)
+    keep = win & (src_sh != 0) & shared.selp_sh
     new_clip = jnp.where(keep, src_sh, 0).astype(I8)
     new_dim = jnp.stack([h, w]).astype(I8)
     return state.replace(
@@ -249,7 +282,7 @@ def copy_to_clip(state: EnvState, sel, pre, param, cfg) -> EnvState:
     )
 
 
-def paste_from_clip(state: EnvState, sel, pre, param, cfg) -> EnvState:
+def paste_from_clip(state: EnvState, sel, pre, param, cfg, shared) -> EnvState:
     """Paste (object.py:316-349).  param != 0 selects paste_blank semantics
     (shipped default in both ARCEnv and O2ARCv2Env)."""
     H, W = state.grid.shape
@@ -270,7 +303,8 @@ def paste_from_clip(state: EnvState, sel, pre, param, cfg) -> EnvState:
 # The object-selection state machine (Move / Rotate / Flip)
 # --------------------------------------------------------------------------
 def _transform_buffer(buf: jax.Array, kind: jax.Array,
-                      h: jax.Array, w: jax.Array) -> jax.Array:
+                      h: jax.Array, w: jax.Array,
+                      kinds_present: frozenset) -> jax.Array:
     """Apply the object transform for ``kind`` to an origin-anchored h x w
     patch inside a full HxW buffer (zero outside the patch).
 
@@ -282,12 +316,15 @@ def _transform_buffer(buf: jax.Array, kind: jax.Array,
     from ..core.geometry import dyn_roll
     H, W = buf.shape
     ident = buf
-    rot90 = dyn_roll(jnp.rot90(buf, k=1), w - W, 0)
-    rot270 = dyn_roll(jnp.rot90(buf, k=3), h - H, 1)
-    fliph = dyn_roll(jnp.fliplr(buf), w - W, 1)
-    flipv = dyn_roll(jnp.flipud(buf), h - H, 0)
-    flipd0 = buf.T
-    flipd1 = dyn_roll(dyn_roll(jnp.rot90(buf, k=2).T, w - W, 0), h - H, 1)
+    # variants absent from the family's op table cost nothing
+    mk = lambda k, f: f() if k in kinds_present else ident
+    rot90 = mk(OBJ.ROT_90, lambda: dyn_roll(jnp.rot90(buf, k=1), w - W, 0))
+    rot270 = mk(OBJ.ROT_270, lambda: dyn_roll(jnp.rot90(buf, k=3), h - H, 1))
+    fliph = mk(OBJ.FLIP_H, lambda: dyn_roll(jnp.fliplr(buf), w - W, 1))
+    flipv = mk(OBJ.FLIP_V, lambda: dyn_roll(jnp.flipud(buf), h - H, 0))
+    flipd0 = mk(OBJ.FLIP_D0, lambda: buf.T)
+    flipd1 = mk(OBJ.FLIP_D1, lambda: dyn_roll(
+        dyn_roll(jnp.rot90(buf, k=2).T, w - W, 0), h - H, 1))
     return jax.lax.select_n(
         kind,
         ident, ident, ident, ident,      # moves keep the buffer
@@ -295,7 +332,7 @@ def _transform_buffer(buf: jax.Array, kind: jax.Array,
     )
 
 
-def object_op(state: EnvState, sel, pre, param, cfg) -> EnvState:
+def object_op(state: EnvState, sel, pre, param, cfg, shared) -> EnvState:
     """Move_U/D/R/L, Rotate_90/270, Flip_H/V/D0/D1 — the O2ARC object ops.
 
     Structure mirrors the reference exactly:
@@ -312,11 +349,10 @@ def object_op(state: EnvState, sel, pre, param, cfg) -> EnvState:
 
     h_a = pre.rmax - pre.rmin + 1
     w_a = pre.cmax - pre.cmin + 1
-    selp = shift2d((sel != 0).astype(I8), -pre.rmin, -pre.cmin) != 0
-    grid_sh = shift2d(state.grid, -pre.rmin, -pre.cmin)
+    selp = shared.selp_sh
     rows, cols = row_col_iota(H, W)
     win_a = (rows < h_a) & (cols < w_a)
-    obj_a = jnp.where(win_a & selp, grid_sh, 0).astype(I8)
+    obj_a = jnp.where(win_a & selp, shared.grid_sh, 0).astype(I8)
     osel_a = (win_a & selp).astype(I8)
     bg_a = jnp.where(sel != 0, 0, state.grid).astype(I8)
 
@@ -362,8 +398,10 @@ def object_op(state: EnvState, sel, pre, param, cfg) -> EnvState:
     w2 = jnp.where(is_rot, h, w)
     parity2 = jnp.where(is_rot, parity_rot, parity)
 
-    obj2 = _transform_buffer(obj, kind, h, w)
-    osel2 = _transform_buffer(osel, kind, h, w)
+    kinds_present = frozenset(
+        p for g, p in zip(cfg.group, cfg.param) if g == G.OBJECT)
+    obj2 = _transform_buffer(obj, kind, h, w, kinds_present)
+    osel2 = _transform_buffer(osel, kind, h, w, kinds_present)
 
     # ---- _apply_patch ----
     gd = _d32(state.grid_dim)
@@ -401,7 +439,7 @@ def answers_match(state: EnvState) -> jax.Array:
     return dims_eq & content_eq
 
 
-def submit(state: EnvState, sel, pre, param, cfg) -> EnvState:
+def submit(state: EnvState, sel, pre, param, cfg, shared) -> EnvState:
     """base.py:172-183 with both reset_on_submit branches.
 
     ``state.reset_on_submit`` selects the branch; the per-family max_trial
@@ -411,7 +449,7 @@ def submit(state: EnvState, sel, pre, param, cfg) -> EnvState:
     trials2 = jnp.where(can, state.trials_remain - jnp.asarray(1, I8),
                         state.trials_remain)
     submits2 = state.submit_count + can.astype(I32)
-    match = answers_match(state)
+    match = shared.match
     term_after_check = jnp.where(can & match, jnp.asarray(1, I8),
                                  state.terminated)
     # plain path: trial exhaustion also terminates (base.py:182-183)

@@ -25,8 +25,8 @@ import jax.numpy as jnp
 from ..core.state import EnvState, Action, I8, I32
 from . import groups as g
 from .groups import (
-    G, OBJ, precompute_selection, answers_match, flood_analysis,
-    full_component, FloodInfo,
+    G, OBJ, precompute_selection, precompute_shared, answers_match,
+    flood_analysis, full_component, FloodInfo,
 )
 
 
@@ -148,19 +148,20 @@ _GROUP_FNS = (
     g.resize_to_answer, # 11
 )
 
-FLOOD_UNROLL = 2
+FLOOD_UNROLL = 1
 
 
 def transition_deferred(state: EnvState, action: Action, table: OpTable):
     """Pure single-env transition with *deferred* flood fill.
 
-    Returns ``(state', flood_pending)``: when the selected op is a flood
-    fill whose component did not converge within FLOOD_UNROLL sweeps, the
-    grid is left untouched and ``flood_pending`` is True — the caller
-    finishes it (batched callers via one scalar ``lax.cond`` over the
-    whole batch, see BatchedEnv.step; single-env via :func:`step`).
-    This keeps the expensive fixpoint ``while_loop`` out of the per-step
-    graph entirely in the common case.
+    Returns ``(state', flood_pending, reward_match)``: when the selected op
+    is a flood fill whose component did not converge within FLOOD_UNROLL
+    sweeps, the grid is left untouched and ``flood_pending`` is True — the
+    caller finishes it (batched callers via one scalar ``lax.cond`` over
+    the whole batch, see BatchedEnv.step; single-env via :func:`step`).
+    ``reward_match`` is answers_match as the sparse reward sees it
+    (identical to matching the post-op state for a Submit op, shared with
+    the submit candidate instead of recomputed).
     """
     op = jnp.clip(action.operation.astype(I32), 0, table.n_ops - 1)
     grp = jnp.asarray(table.group, I32)[op]
@@ -179,21 +180,33 @@ def transition_deferred(state: EnvState, action: Action, table: OpTable):
     pre = precompute_selection(sel)
     has_flood = G.FLOOD in table.group
     flood = flood_analysis(state0, pre, FLOOD_UNROLL) if has_flood else None
+    shared = precompute_shared(state0, sel, pre, flood)
     cands = []
     for i, fn in enumerate(_GROUP_FNS):
         if i == G.FLOOD:
             # unused branch collapses to a no-op when the family has no
             # flood ops (grp can never select it)
-            cands.append(g.flood_fill(state0, sel, pre, par, table, flood)
+            cands.append(g.flood_fill(state0, sel, pre, par, table, shared)
                          if has_flood else state0)
         else:
-            cands.append(fn(state0, sel, pre, par, table))
+            cands.append(fn(state0, sel, pre, par, table, shared))
     new = jax.tree.map(lambda *xs: jax.lax.select_n(grp, *xs), *cands)
     if has_flood:
         pending = (grp == G.FLOOD) & flood.valid & ~flood.converged
     else:
         pending = jnp.zeros((), bool)
-    return new, pending
+
+    # Sparse-reward match on the post-op state (o2arcenv.py:121-128): a
+    # Submit op leaves the grid unchanged unless reset_on_submit re-inited,
+    # in which case the fresh grid (= input) is compared instead.
+    ros_applied = (state.trials_remain != 0) & (state.reset_on_submit != 0)
+    H, W = state.grid.shape
+    from ..core.geometry import inside_dims as _ins
+    fresh_match = (jnp.all(state.input_dim == state.answer_dim)
+                   & jnp.all(jnp.where(_ins(state.answer_dim, H, W),
+                                       state.input == state.answer, True)))
+    reward_match = jnp.where(ros_applied, fresh_match, shared.match)
+    return new, pending, reward_match
 
 
 def finish_flood(state: EnvState, action: Action, table: OpTable,
@@ -216,7 +229,7 @@ def transition(state: EnvState, action: Action, table: OpTable) -> EnvState:
     when actually needed; note that under ``vmap`` the cond becomes a
     select and both branches run — batched callers should prefer
     ``transition_deferred`` + ``finish_flood``)."""
-    new, pending = transition_deferred(state, action, table)
+    new, pending, _match = transition_deferred(state, action, table)
     if isinstance(pending, jax.Array) and pending.shape == ():
         return jax.lax.cond(
             pending,
@@ -226,10 +239,9 @@ def transition(state: EnvState, action: Action, table: OpTable) -> EnvState:
     return new
 
 
-def _finish_step(state: EnvState, s2: EnvState, op, table: OpTable):
+def _finish_step(state: EnvState, s2: EnvState, op, match, table: OpTable):
     reward = jnp.where(
-        (op == table.submit_op) & answers_match(s2), 1.0, 0.0
-    ).astype(jnp.float32)
+        (op == table.submit_op) & match, 1.0, 0.0).astype(jnp.float32)
     s2 = s2.replace(
         steps=state.steps + 1,
         last_action_op=op,
@@ -246,8 +258,13 @@ def step(state: EnvState, action: Action, table: OpTable):
     only comes from a TimeLimit wrapper.
     """
     op = jnp.clip(action.operation.astype(I32), 0, table.n_ops - 1)
-    s2 = transition(state, action, table)
-    return _finish_step(state, s2, op, table)
+    new, pending, match = transition_deferred(state, action, table)
+    s2 = jax.lax.cond(
+        pending,
+        lambda s: finish_flood(s, action, table, jnp.asarray(True)),
+        lambda s: s,
+        new)
+    return _finish_step(state, s2, op, match, table)
 
 
 def step_deferred(state: EnvState, action: Action, table: OpTable):
@@ -255,8 +272,8 @@ def step_deferred(state: EnvState, action: Action, table: OpTable):
     ``(state, reward, terminated, flood_pending)``.  Reward/termination are
     exact even before the flood patch (flood ops produce neither)."""
     op = jnp.clip(action.operation.astype(I32), 0, table.n_ops - 1)
-    s2, pending = transition_deferred(state, action, table)
-    s2, reward, term = _finish_step(state, s2, op, table)
+    s2, pending, match = transition_deferred(state, action, table)
+    s2, reward, term = _finish_step(state, s2, op, match, table)
     return s2, reward, term, pending
 
 

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 
 from ..core.state import Action
 from ..core.geometry import bbox_selection
-from ..envs.core import BatchedEnv, BatchedState
+from ..envs.core import BatchedEnv, BatchedState, flatten_grids, \
+    unflatten_grids
 
 
 class Trajectory(NamedTuple):
@@ -49,16 +50,21 @@ def rollout(env: BatchedEnv, bs: BatchedState, params, key: jax.Array,
     returns (carry, traj, last_value)."""
 
     def body(carry, _):
-        bs, key = carry
+        bs_flat, key = carry
+        bs = unflatten_grids(bs_flat)
         key, ka = jax.random.split(key)
         obs = agent.obs_fn(bs.env)
         acts, lp, value = agent.sample_fn(params, obs, ka, deterministic)
         bs2, obs_env, rew, term, trunc = env.step(bs, decode_bbox_actions(acts))
         out = Trajectory(obs=obs, actions=acts, log_probs=lp, values=value,
                          rewards=rew, dones=term | trunc, terminated=term)
-        return (bs2, key), out
+        return (flatten_grids(bs2), key), out
 
-    (bs, key), traj = jax.lax.scan(body, (bs, key), None, length=n_steps)
+    # grids ride the scan carry flattened: 900 lanes pad to 1024 instead of
+    # (32,128) tiles -> ~4x less HBM traffic per step on the state
+    (bs_flat, key), traj = jax.lax.scan(
+        body, (flatten_grids(bs), key), None, length=n_steps)
+    bs = unflatten_grids(bs_flat)
     last_obs = agent.obs_fn(bs.env)
     zero_act = jnp.zeros(last_obs.shape[:-1] + (5,), jnp.int32)
     _, last_value, _ = agent.evaluate_fn(params, last_obs, zero_act)

@@ -112,15 +112,20 @@ def bench_tpu(batch: int, steps: int, iters: int, seed: int = 0) -> float:
     # NOTE: the env rides through jit as an explicit pytree argument —
     # closing over device arrays is pathological on the axon runtime
     # (see BatchedEnv docstring).
+    from arcle_tpu.envs.core import flatten_grids, unflatten_grids
+
     def rollout(env, bs, key):
         def body(carry, _):
-            bs, key = carry
+            bs_flat, key = carry
+            bs = unflatten_grids(bs_flat)
             key, ka = jax.random.split(key)
             act = random_actions(ka, env.table.n_ops)
             bs, _obs, rew, term, trunc = env.step(bs, act)
-            return (bs, key), rew.sum()
+            return (flatten_grids(bs), key), rew.sum()
 
-        (bs, key), rews = jax.lax.scan(body, (bs, key), None, length=steps)
+        (bs_flat, key), rews = jax.lax.scan(
+            body, (flatten_grids(bs), key), None, length=steps)
+        bs = unflatten_grids(bs_flat)
         # scalar checksum over the final carry: forcing its host readback is
         # the only reliable completion barrier on the axon runtime
         # (block_until_ready returns before the work drains there)
