@@ -128,6 +128,7 @@ class BatchedEnv:
     auto_reset: bool = True
     dense_reward: bool = False      # CustomO2ARCEnv shaping (env.py:44-58)
     augment: bool = False           # reset-time rot90+recolor (env.py:31-42)
+    use_pallas: bool = False        # whole-step VMEM megakernel (TPU only)
     opts: ResetOptions = dataclasses.field(
         default_factory=lambda: ResetOptions.make())
 
@@ -156,8 +157,14 @@ class BatchedEnv:
         auto-reset — run behind scalar ``lax.cond``s over the whole batch,
         so the per-step graph stays a single fused pass in the common case.
         """
-        env2, reward, term, pending = jax.vmap(
-            _step_deferred, in_axes=(0, 0, None))(bs.env, action, self.table)
+        if self.use_pallas:
+            from ..ops.pallas_step import pallas_step_deferred
+            env2, reward, term, pending = pallas_step_deferred(
+                bs.env, action, self.table)
+        else:
+            env2, reward, term, pending = jax.vmap(
+                _step_deferred, in_axes=(0, 0, None))(bs.env, action,
+                                                      self.table)
 
         def flood_fixup(args):
             env2, action = args
@@ -205,7 +212,7 @@ jax.tree_util.register_dataclass(
     BatchedEnv,
     data_fields=["bank", "opts"],
     meta_fields=["table", "max_trial", "episode_limit", "auto_reset",
-                 "dense_reward", "augment"],
+                 "dense_reward", "augment", "use_pallas"],
 )
 
 

@@ -1,0 +1,578 @@
+"""The whole-transition Pallas megakernel.
+
+The XLA path (ops/table.py) streams ~30 fused passes of padded
+(B,30,30) int8 intermediates through HBM per step (~5 ms at B=4096 on
+v5e).  This kernel keeps the *entire* per-env state of a block of envs in
+VMEM and performs the complete 35-op fused transition there, so HBM
+traffic per step collapses to one read + one write of the packed state.
+
+Kernel-level design (see also the axon-runtime notes in envs/core.py):
+
+* layout: every grid field flat ``[B, 900]`` int8 — env block on
+  sublanes, the 900 grid cells on lanes (pad 900→1024, 1.14x, vs the
+  4.5x of (30,30) tiling); per-env scalars ``[B, 1]`` int32.
+* per-env dynamic 2-D placements are ONE flat lane-roll by
+  ``30*dx + dy`` (binary-decomposed into 10 conditional static rolls):
+  inside the valid window ``0 <= r-dx < h, 0 <= c-dy < w <= 30`` a flat
+  roll never wraps across rows, so it equals the 2-D shift exactly.
+* rot90/rot270/flip are lane permutations — computed as bf16 matmuls
+  with constant 900x900 one-hot matrices on the MXU, then re-anchored
+  with a single-axis flat roll (row multiples for rot90/flipud, in-row
+  for rot270/fliplr — no wrap either way).
+* flood fill: in-row/в-column reachability via doubling on
+  (reachable, run) pairs with row-boundary masks — 5 steps per
+  direction, all in VMEM; unconverged components defer to the caller's
+  fixpoint fallback exactly like the XLA path.
+* the op-table lookups (group/param/reset_sel per env) are tiny gathers
+  done *outside* in XLA and passed in as scalar blocks.
+
+Bit-exactness contract: identical to ``ops.table.transition_deferred``
+(fuzz-tested in tests/test_pallas_step.py); the reward/bookkeeping
+epilogue stays in XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.state import EnvState, Action, I8, I32
+from .groups import G, OBJ
+from .table import OpTable, FLOOD_UNROLL
+
+H = W = 30
+P = H * W   # 900
+BLK = 64    # envs per block
+
+
+# ---------------------------------------------------------------------------
+# static constants
+# ---------------------------------------------------------------------------
+def _perm_matrix(fn) -> np.ndarray:
+    """900x900 one-hot M with (flat_grid @ M) == fn(grid).flatten()."""
+    src = np.arange(P).reshape(H, W)
+    dst = fn(src).reshape(-1)
+    m = np.zeros((P, P), np.int8)
+    m[dst, np.arange(P)] = 1
+    return m
+
+
+# Two bf16 matrices generate the whole transform group (VMEM budget):
+# rot270 = rot90^3, flipud = rot90^2 . fliplr
+_PERM_ROT90 = _perm_matrix(lambda g: np.rot90(g, 1))
+_PERM_FLIPLR = _perm_matrix(np.fliplr)
+
+
+def _lane_iota(shape):
+    return jax.lax.broadcasted_iota(I32, shape, 1)
+
+
+def _binroll(x, shift):
+    """Flat circular lane-roll by per-env ``shift`` (i32 [BLK,1])."""
+    s = jnp.mod(shift, P)
+    k = 1
+    while k < P:
+        bit = (s & k) != 0
+        x = jnp.where(bit, jnp.roll(x, k, 1), x)
+        k <<= 1
+    return x
+
+
+def _binroll_neg_rows(x, amt):
+    """Flat roll by ``-amt*W`` rows, amt in [0, 30): 5 negative-direction
+    stages instead of a full 10-stage mod-900 roll."""
+    k = 1
+    while k < H:
+        bit = (amt & k) != 0
+        x = jnp.where(bit, jnp.roll(x, -k * W, 1), x)
+        k <<= 1
+    return x
+
+
+def _binroll_neg_cols(x, amt):
+    """Flat roll by ``-amt`` lanes, amt in [0, 30): exact as an in-row
+    shift for content whose target columns stay in range."""
+    k = 1
+    while k < W:
+        bit = (amt & k) != 0
+        x = jnp.where(bit, jnp.roll(x, -k, 1), x)
+        k <<= 1
+    return x
+
+
+def _rowcol(shape):
+    lane = _lane_iota(shape)
+    return lane // W, lane % W
+
+
+def _win(row, col, x, y, h, w):
+    return (row >= x) & (row < x + h) & (col >= y) & (col < y + w)
+
+
+def _place(patch, x, y, h, w, lim_h, lim_w, row, col):
+    """vals[l] = patch[(r-x, c-y)] plus the validity window (the flat
+    counterpart of geometry.place_patch)."""
+    vals = _binroll(patch, x * W + y)
+    m = _win(row, col, x, y, h, w) & (row < lim_h) & (col < lim_w)
+    return vals, m
+
+
+def _permute(x, mat):
+    return jax.lax.dot_general(
+        x.astype(jnp.bfloat16), mat,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(I8)
+
+
+# Masked reductions in pure i32 arithmetic: Mosaic cannot relayout i1
+# vectors into the replicated form that select-through-iota demands.
+def _reduce_min(x, cond, big=P + 1):
+    m = cond.astype(I32)
+    return jnp.min(x * m + big * (1 - m), axis=1, keepdims=True)
+
+
+def _reduce_max(x, cond, small=-1):
+    m = cond.astype(I32)
+    return jnp.max(x * m + small * (1 - m), axis=1, keepdims=True)
+
+
+def _any(cond):
+    return jnp.max(cond.astype(I32), axis=1, keepdims=True) != 0
+
+
+def _all(cond):
+    return jnp.min(cond.astype(I32), axis=1, keepdims=True) != 0
+
+
+def _line_reach(seed, region, stride, coord, span=30):
+    """Within-line segmented reachability by (reach, run) doubling.
+
+    ``stride`` 1 = along rows (cells of one row are adjacent lanes),
+    ``W`` = along columns.  ``coord`` is the in-line coordinate (col for
+    rows, row for columns) used to mask shifts that would wrap across
+    lines.  Invariants after step s: A = "a seed within the last 2^s
+    in-line cells reaches here through region", R = "the last 2^s in-line
+    cells are all region".
+    """
+    # i8 mask arithmetic: Mosaic relayouts of rolled i1 vectors are shaky,
+    # and i8 keeps the VMEM footprint 4x smaller than i32
+    seed8 = seed.astype(I8)
+    region8 = region.astype(I8)
+
+    def one_dir(sign):
+        a, r = seed8 & region8, region8
+        k = 1
+        while k < span:
+            ok = ((coord >= k) if sign > 0 else (coord < span - k)
+                  ).astype(I8)
+            sh = sign * k * stride
+            a, r = (a | (jnp.roll(a, sh, 1) & r & ok),
+                    r & jnp.roll(r, sh, 1) & ok)
+            k <<= 1
+        return a
+
+    return (one_dir(+1) | one_dir(-1)) != 0
+
+
+def _sweep(mask, region, row, col):
+    m = mask | _line_reach(mask, region, 1, col)
+    return m | _line_reach(m, region, W, row)
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+GRID_FIELDS_IN = ("grid", "input", "answer", "selected", "clip", "object",
+                  "object_sel", "background")
+SCALAR_FIELDS_IN = ("grid_h", "grid_w", "input_h", "input_w", "answer_h",
+                    "answer_w", "clip_h", "clip_w", "obj_h", "obj_w",
+                    "obj_x", "obj_y", "active", "parity", "trials", "term",
+                    "ros", "grp", "par", "rs")
+GRID_FIELDS_OUT = ("grid", "selected", "clip", "object", "object_sel",
+                   "background")
+SCALAR_FIELDS_OUT = ("grid_h", "grid_w", "clip_h", "clip_w", "obj_h",
+                     "obj_w", "obj_x", "obj_y", "active", "parity",
+                     "trials", "term", "submitted", "match", "pending")
+
+
+def _step_kernel(table: OpTable, *refs):
+    n_in = len(GRID_FIELDS_IN) + 1 + len(SCALAR_FIELDS_IN) + 2
+    ins, outs = refs[:n_in], refs[n_in:]
+    it = iter(ins)
+    gv = {k: next(it)[:] for k in GRID_FIELDS_IN}
+    sel_act = next(it)[:]
+    sv = {k: next(it)[:] for k in SCALAR_FIELDS_IN}
+    perm_r90, perm_lr = (next(it) for _ in range(2))
+
+    shape = gv["grid"].shape
+    row, col = _rowcol(shape)
+    grp, par, rs = sv["grp"], sv["par"], sv["rs"]
+    # Anchor the lane iotas with a per-sublane term: Mosaic keeps pure
+    # lane-iotas sublane-replicated, and selecting through them forces i1
+    # masks into a replicated relayout it cannot perform.
+    anchor = grp * 0
+    row = row + anchor
+    col = col + anchor
+    out = {}
+
+    # ---- reset_sel decorator ----
+    selected0 = jnp.where(rs != 0, jnp.zeros_like(gv["selected"]),
+                          gv["selected"])
+    active0 = jnp.where(rs != 0, jnp.zeros_like(sv["active"]), sv["active"])
+    grid = gv["grid"]
+
+    # ---- selection precompute ----
+    selp = sel_act != 0
+    any_sel = _any(selp)
+    total = jnp.sum(sel_act.astype(I32), axis=1, keepdims=True)
+    lane = _lane_iota(shape) + anchor
+    rmin = jnp.where(any_sel, _reduce_min(row, selp), 0)
+    rmax = jnp.where(any_sel, _reduce_max(row, selp), 0)
+    cmin = jnp.where(any_sel, _reduce_min(col, selp), 0)
+    cmax = jnp.where(any_sel, _reduce_max(col, selp), 0)
+    flat_idx = jnp.where(any_sel, _reduce_min(lane, selp), 0)
+    px, py = flat_idx // W, flat_idx % W
+
+    # shared shifted-to-origin views (flat roll is exact inside the window)
+    origin_shift = -(rmin * W + cmin)
+    grid_sh = _binroll(grid, origin_shift)
+    selp_sh = _binroll(sel_act, origin_shift) != 0
+    input_sh = _binroll(gv["input"], origin_shift)
+
+    h_s = rmax - rmin + 1
+    w_s = cmax - cmin + 1
+    win_s = (row < h_s) & (col < w_s)
+
+    inside_grid = (row < sv["grid_h"]) & (col < sv["grid_w"])
+    inside_ans = (row < sv["answer_h"]) & (col < sv["answer_w"])
+
+    # answers_match (shared by Submit and the sparse reward)
+    dims_eq = (sv["grid_h"] == sv["answer_h"]) & \
+              (sv["grid_w"] == sv["answer_w"])
+    # i8 eq is unsupported (and i32 casts get folded back); use ne
+    content_eq = ~_any(inside_ans & (
+        (grid.astype(I32) - gv["answer"].astype(I32)) != 0))
+    match = dims_eq & content_eq
+
+    # ---- COLOR ----
+    grid_color = jnp.where(selp, par.astype(I8), grid)
+
+    # ---- FLOOD (deferred) ----
+    has_flood = G.FLOOD in table.group
+    if has_flood:
+        gd_ok = (px < sv["grid_h"]) & (py < sv["grid_w"])
+        fl_valid = (total == 1) & gd_ok
+        seed_color = _reduce_max(grid.astype(I32), lane == flat_idx)
+        region = (grid.astype(I32) == seed_color) & inside_grid
+        seed = lane == flat_idx
+        comp = seed & region
+        for _ in range(FLOOD_UNROLL):
+            comp = _sweep(comp, region, row, col)
+        check = _sweep(comp, region, row, col)
+        # i1 equality lowers to an unsupported packed-i8 cmpi; use i32 xor
+        fl_conv = ~_any(check.astype(I32) ^ comp.astype(I32))
+        comp = check
+        grid_flood = jnp.where(comp & fl_valid & fl_conv, par.astype(I8),
+                               grid)
+        pending = (grp == G.FLOOD) & fl_valid & ~fl_conv
+    else:
+        grid_flood = grid
+        pending = jnp.zeros_like(grp) != 0
+
+    # ---- OBJECT (move / rotate / flip) ----
+    kind = par
+    cont = ~any_sel & (active0 != 0)
+    valid_obj = any_sel | cont
+
+    obj_a = jnp.where(win_s & selp_sh, grid_sh, 0)
+    osel_a = (win_s & selp_sh).astype(I8)
+    bg_a = jnp.where(selp, 0, grid).astype(I8)
+
+    pick = lambda a, b: jnp.where(any_sel, a, b)
+    obj = pick(obj_a, gv["object"])
+    osel = pick(osel_a, gv["object_sel"])
+    bg = pick(bg_a, gv["background"])
+    ox = pick(rmin, sv["obj_x"])
+    oy = pick(cmin, sv["obj_y"])
+    oh = pick(h_s, sv["obj_h"])
+    ow = pick(w_s, sv["obj_w"])
+    opar = pick(jnp.zeros_like(sv["parity"]), sv["parity"])
+
+    is_move = kind <= OBJ.MOVE_L
+    is_rot = (kind == OBJ.ROT_90) | (kind == OBJ.ROT_270)
+    dxs = jnp.where(kind == OBJ.MOVE_U, -1,
+                    jnp.where(kind == OBJ.MOVE_D, 1, 0))
+    dys = jnp.where(kind == OBJ.MOVE_R, 1,
+                    jnp.where(kind == OBJ.MOVE_L, -1, 0))
+    x_move, y_move = ox + dxs, oy + dys
+
+    same_par = (oh % 2) == (ow % 2)
+    par_rot = jnp.where(same_par, opar, (opar + 1) % 2)
+    mod = 1 - par_rot
+    x_rot = jnp.where(same_par, (2 * ox + oh - ow) // 2,
+                      (2 * ox + oh - ow - 1) // 2 + mod)
+    y_rot = jnp.where(same_par, (2 * oy + ow - oh) // 2,
+                      (2 * oy + ow - oh - 1) // 2 + mod)
+
+    x2 = jnp.where(is_move, x_move, jnp.where(is_rot, x_rot, ox))
+    y2 = jnp.where(is_move, y_move, jnp.where(is_rot, y_rot, oy))
+    h2 = jnp.where(is_rot, ow, oh)
+    w2 = jnp.where(is_rot, oh, ow)
+    par2 = jnp.where(is_rot, par_rot, opar)
+
+    kinds = frozenset(p for g_, p in zip(table.group, table.param)
+                      if g_ == G.OBJECT)
+
+    r90m, lrm = perm_r90[:], perm_lr[:]
+
+    def transform2(bufa, bufb):
+        """Transform both object buffers in one stacked matmul chain
+        (M = 2*BLK keeps the MXU well fed)."""
+        buf = jnp.concatenate([bufa, bufb], axis=0)
+        two = lambda v: (v[:bufa.shape[0]], v[bufa.shape[0]:])
+        b90 = _permute(buf, r90m)          # shared by rot90/rot270/flipud
+        blr = _permute(buf, lrm)
+        variants = {}
+        if OBJ.ROT_90 in kinds:
+            variants[OBJ.ROT_90] = two(b90)
+        if OBJ.ROT_270 in kinds:
+            variants[OBJ.ROT_270] = two(_permute(_permute(b90, r90m), r90m))
+        if OBJ.FLIP_H in kinds:
+            variants[OBJ.FLIP_H] = two(blr)
+        if OBJ.FLIP_V in kinds:
+            # flipud = rot90^2 . fliplr
+            variants[OBJ.FLIP_V] = two(_permute(_permute(blr, r90m), r90m))
+        # re-anchor shifts are single-axis negative flat rolls
+        # (rows for rot90/flipV, in-row lanes for rot270/flipH)
+        anchor_rows = {OBJ.ROT_90: W - ow, OBJ.FLIP_V: H - oh}
+        anchor_cols = {OBJ.ROT_270: H - oh, OBJ.FLIP_H: W - ow}
+        outs_t = [bufa, bufb]
+        for kk, pair in variants.items():
+            for i, v in enumerate(pair):
+                if kk in anchor_rows:
+                    v = _binroll_neg_rows(v, anchor_rows[kk])
+                else:
+                    v = _binroll_neg_cols(v, anchor_cols[kk])
+                outs_t[i] = jnp.where(kind == kk, v, outs_t[i])
+        return outs_t
+
+    obj2, osel2 = transform2(obj.astype(I8), osel.astype(I8))
+
+    vals, pwin = _place(obj2, x2, y2, h2, w2, sv["grid_h"], sv["grid_w"],
+                        row, col)
+    grid_obj = jnp.where(pwin & (vals != 0), vals, bg)
+    svals, swin = _place(osel2, x2, y2, h2, w2, sv["grid_h"], sv["grid_w"],
+                         row, col)
+    sel_obj = jnp.where(swin, svals, 0).astype(I8)
+
+    # ---- COPY ----
+    src_is_input = par == 0
+    src_h = jnp.where(src_is_input, sv["input_h"], sv["grid_h"])
+    src_w = jnp.where(src_is_input, sv["input_w"], sv["grid_w"])
+    oob = (rmax > src_h) | (cmax > src_w)
+    copy_valid = any_sel & ~oob
+    src_sh = jnp.where(src_is_input, input_sh, grid_sh)
+    clip_new = jnp.where(win_s & (src_sh != 0) & selp_sh, src_sh, 0)
+    clip_copy = jnp.where(copy_valid, clip_new, gv["clip"]).astype(I8)
+    clip_h_copy = jnp.where(copy_valid, h_s, sv["clip_h"])
+    clip_w_copy = jnp.where(copy_valid, w_s, sv["clip_w"])
+
+    # ---- PASTE (blank=True; clipped to the frame, not grid_dim) ----
+    paste_valid = any_sel & (sv["clip_h"] != 0) & (sv["clip_w"] != 0)
+    pvals, ppwin = _place(gv["clip"], rmin, cmin, sv["clip_h"],
+                          sv["clip_w"], jnp.full_like(rmin, H),
+                          jnp.full_like(rmin, W), row, col)
+    grid_paste = jnp.where(ppwin & paste_valid, pvals, grid)
+
+    # ---- CROP ----
+    crop_patch = jnp.where(win_s & selp_sh & (grid_sh != 0), grid_sh, 0)
+    grid_crop = jnp.where(any_sel, crop_patch, grid).astype(I8)
+
+    # ---- simple criticals ----
+    grid_cfi = gv["input"]
+    grid_zero = jnp.zeros_like(grid)
+    grid_rta = jnp.where(inside_ans, grid, 0)
+
+    # ---- SUBMIT ----
+    can = sv["trials"] != 0
+    trials_sub = jnp.where(can, sv["trials"] - 1, sv["trials"])
+    term_chk = jnp.where(can & match, 1, sv["term"])
+    term_plain = jnp.where(trials_sub == 0, 1, term_chk)
+    ros_on = can & (sv["ros"] != 0)
+
+    # ---- fold the candidates ----
+    def sel_grid(default):
+        g_ = default
+        g_ = jnp.where(grp == G.COLOR, grid_color, g_)
+        if has_flood:
+            g_ = jnp.where(grp == G.FLOOD, grid_flood, g_)
+        g_ = jnp.where(grp == G.OBJECT,
+                       jnp.where(valid_obj, grid_obj, grid), g_)
+        g_ = jnp.where(grp == G.PASTE, grid_paste, g_)
+        g_ = jnp.where(grp == G.COPY_FROM_INPUT, grid_cfi, g_)
+        g_ = jnp.where(grp == G.RESET_GRID, grid_zero, g_)
+        g_ = jnp.where(grp == G.RESIZE_GRID,
+                       jnp.where(any_sel, grid_zero, grid), g_)
+        g_ = jnp.where(grp == G.CROP_GRID, grid_crop, g_)
+        g_ = jnp.where(grp == G.RESIZE_TO_ANSWER, grid_rta, g_)
+        # submit + reset_on_submit re-init
+        g_ = jnp.where((grp == G.SUBMIT) & ros_on, gv["input"], g_)
+        return g_.astype(I8)
+
+    is_obj_ok = (grp == G.OBJECT) & valid_obj
+    sub_ros = (grp == G.SUBMIT) & ros_on
+    resize_ok = any_sel & ((grp == G.RESIZE_GRID) | (grp == G.CROP_GRID))
+
+    out["grid"] = sel_grid(grid)
+    out["selected"] = jnp.where(is_obj_ok, sel_obj,
+                                jnp.where(sub_ros, 0, selected0)).astype(I8)
+    out["clip"] = jnp.where(grp == G.COPY, clip_copy,
+                            jnp.where(sub_ros, 0, gv["clip"])).astype(I8)
+    out["object"] = jnp.where(is_obj_ok, obj2,
+                              jnp.where(sub_ros, 0, gv["object"])).astype(I8)
+    out["object_sel"] = jnp.where(is_obj_ok, osel2,
+                                  jnp.where(sub_ros, 0,
+                                            gv["object_sel"])).astype(I8)
+    out["background"] = jnp.where(is_obj_ok, bg,
+                                  jnp.where(sub_ros, 0,
+                                            gv["background"])).astype(I8)
+
+    out["grid_h"] = jnp.where(
+        grp == G.COPY_FROM_INPUT, sv["input_h"],
+        jnp.where(resize_ok, h_s,
+                  jnp.where(grp == G.RESIZE_TO_ANSWER, sv["answer_h"],
+                            jnp.where(sub_ros, sv["input_h"],
+                                      sv["grid_h"]))))
+    out["grid_w"] = jnp.where(
+        grp == G.COPY_FROM_INPUT, sv["input_w"],
+        jnp.where(resize_ok, w_s,
+                  jnp.where(grp == G.RESIZE_TO_ANSWER, sv["answer_w"],
+                            jnp.where(sub_ros, sv["input_w"],
+                                      sv["grid_w"]))))
+    out["clip_h"] = jnp.where(grp == G.COPY, clip_h_copy,
+                              jnp.where(sub_ros, 0, sv["clip_h"]))
+    out["clip_w"] = jnp.where(grp == G.COPY, clip_w_copy,
+                              jnp.where(sub_ros, 0, sv["clip_w"]))
+    out["obj_h"] = jnp.where(is_obj_ok, h2,
+                             jnp.where(sub_ros, 0, sv["obj_h"]))
+    out["obj_w"] = jnp.where(is_obj_ok, w2,
+                             jnp.where(sub_ros, 0, sv["obj_w"]))
+    out["obj_x"] = jnp.where(is_obj_ok, x2,
+                             jnp.where(sub_ros, 0, sv["obj_x"]))
+    out["obj_y"] = jnp.where(is_obj_ok, y2,
+                             jnp.where(sub_ros, 0, sv["obj_y"]))
+    out["active"] = jnp.where(is_obj_ok, 1,
+                              jnp.where(sub_ros, 0, active0))
+    out["parity"] = jnp.where(is_obj_ok, par2,
+                              jnp.where(sub_ros, 0, sv["parity"]))
+
+    is_sub = grp == G.SUBMIT
+    out["trials"] = jnp.where(
+        is_sub, jnp.where(ros_on, jnp.full_like(trials_sub,
+                                                table.max_trial),
+                          trials_sub), sv["trials"])
+    out["term"] = jnp.where(is_sub, jnp.where(ros_on, 0, term_plain),
+                            sv["term"])
+    out["submitted"] = jnp.where(is_sub & can, 1, 0)
+
+    # sparse-reward match as the reward sees it (post-op; ros -> fresh)
+    fresh_dims_eq = (sv["input_h"] == sv["answer_h"]) & \
+                    (sv["input_w"] == sv["answer_w"])
+    fresh_content = ~_any(inside_ans & (
+        (gv["input"].astype(I32) - gv["answer"].astype(I32)) != 0))
+    # keep the select in i32: Mosaic can't select_n on i1 (BLK,1) vectors
+    out["match"] = jnp.where(ros_on,
+                             (fresh_dims_eq & fresh_content).astype(I32),
+                             match.astype(I32))
+    out["pending"] = pending.astype(I32)
+
+    for name, ref in zip(GRID_FIELDS_OUT + SCALAR_FIELDS_OUT, outs):
+        v = out[name]
+        if name in GRID_FIELDS_OUT:
+            ref[:] = v.astype(I8)
+        else:
+            ref[:] = v.astype(I32)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def pallas_step_deferred(state: EnvState, action: Action, table: OpTable):
+    """Drop-in replacement for ``vmap(step_deferred)`` over a batch.
+
+    Returns ``(new_state, reward, terminated, pending)`` exactly like the
+    XLA path; the grid work happens in one Pallas kernel."""
+    B = state.grid.shape[0]
+    assert B % BLK == 0, (B, BLK)
+    op = jnp.clip(action.operation.astype(I32), 0, table.n_ops - 1)
+    grp = jnp.asarray(table.group, I32)[op]
+    par = jnp.asarray(table.param, I32)[op]
+    rs = jnp.asarray(table.reset_sel, I32)[op]
+
+    flat = lambda x: x.reshape(B, P)
+    col2 = lambda x: x.astype(I32).reshape(B, 1)
+
+    grid_in = [flat(state.grid), flat(state.input), flat(state.answer),
+               flat(state.selected), flat(state.clip), flat(state.object),
+               flat(state.object_sel), flat(state.background),
+               flat(action.selection)]
+    scal_in = [col2(state.grid_dim[:, 0]), col2(state.grid_dim[:, 1]),
+               col2(state.input_dim[:, 0]), col2(state.input_dim[:, 1]),
+               col2(state.answer_dim[:, 0]), col2(state.answer_dim[:, 1]),
+               col2(state.clip_dim[:, 0]), col2(state.clip_dim[:, 1]),
+               col2(state.object_dim[:, 0]), col2(state.object_dim[:, 1]),
+               col2(state.object_pos[:, 0]), col2(state.object_pos[:, 1]),
+               col2(state.active), col2(state.rotation_parity),
+               col2(state.trials_remain), col2(state.terminated),
+               col2(state.reset_on_submit), col2(grp), col2(par), col2(rs)]
+    perms = [jnp.asarray(_PERM_ROT90, jnp.bfloat16),
+             jnp.asarray(_PERM_FLIPLR, jnp.bfloat16)]
+
+    n_grid_out = len(GRID_FIELDS_OUT)
+    out_shapes = ([jax.ShapeDtypeStruct((B, P), I8)] * n_grid_out
+                  + [jax.ShapeDtypeStruct((B, 1), I32)]
+                  * len(SCALAR_FIELDS_OUT))
+
+    gspec = pl.BlockSpec((BLK, P), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((BLK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((P, P), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        functools.partial(_step_kernel, table),
+        grid=(B // BLK,),
+        out_shape=tuple(out_shapes),
+        in_specs=[gspec] * 9 + [sspec] * len(SCALAR_FIELDS_IN)
+        + [pspec] * 2,
+        out_specs=tuple([gspec] * n_grid_out
+                        + [sspec] * len(SCALAR_FIELDS_OUT)),
+    )(*grid_in, *scal_in, *perms)
+
+    o = dict(zip(GRID_FIELDS_OUT + SCALAR_FIELDS_OUT, outs))
+    unflat = lambda x: x.reshape(B, H, W)
+    d2 = lambda a, b: jnp.stack([o[a][:, 0], o[b][:, 0]], -1).astype(I8)
+    s2 = state.replace(
+        grid=unflat(o["grid"]), selected=unflat(o["selected"]),
+        clip=unflat(o["clip"]), object=unflat(o["object"]),
+        object_sel=unflat(o["object_sel"]),
+        background=unflat(o["background"]),
+        grid_dim=d2("grid_h", "grid_w"), clip_dim=d2("clip_h", "clip_w"),
+        object_dim=d2("obj_h", "obj_w"), object_pos=d2("obj_x", "obj_y"),
+        active=o["active"][:, 0].astype(I8),
+        rotation_parity=o["parity"][:, 0].astype(I8),
+        trials_remain=o["trials"][:, 0].astype(I8),
+        terminated=o["term"][:, 0].astype(I8),
+        submit_count=state.submit_count + o["submitted"][:, 0],
+    )
+    match = o["match"][:, 0] != 0
+    pending = o["pending"][:, 0] != 0
+    reward = jnp.where((op == table.submit_op) & match, 1.0, 0.0
+                       ).astype(jnp.float32)
+    s2 = s2.replace(steps=state.steps + 1, last_action_op=op,
+                    last_reward=reward)
+    return s2, reward, s2.terminated != 0, pending

@@ -95,9 +95,12 @@ def bench_tpu(batch: int, steps: int, iters: int, seed: int = 0) -> float:
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {dev.device_kind}")
 
+    use_pallas = jax.devices()[0].platform == "tpu" and batch % 64 == 0
+    log(f"pallas megakernel: {use_pallas}")
     env = BatchedEnv(table=o2arc_table(max_trial=-1),
                      bank=SyntheticLoader(16, seed=3).bank(),
-                     max_trial=-1, episode_limit=100, auto_reset=True)
+                     max_trial=-1, episode_limit=100, auto_reset=True,
+                     use_pallas=use_pallas)
 
     H = W = 30
 
@@ -114,18 +117,23 @@ def bench_tpu(batch: int, steps: int, iters: int, seed: int = 0) -> float:
     # (see BatchedEnv docstring).
     from arcle_tpu.envs.core import flatten_grids, unflatten_grids
 
+    # with the pallas megakernel the state is already packed flat inside
+    # the kernel boundary; the flat scan carry only helps the XLA path
+    wrap = (lambda x: x) if use_pallas else flatten_grids
+    unwrap = (lambda x: x) if use_pallas else unflatten_grids
+
     def rollout(env, bs, key):
         def body(carry, _):
             bs_flat, key = carry
-            bs = unflatten_grids(bs_flat)
+            bs = unwrap(bs_flat)
             key, ka = jax.random.split(key)
             act = random_actions(ka, env.table.n_ops)
             bs, _obs, rew, term, trunc = env.step(bs, act)
-            return (flatten_grids(bs), key), rew.sum()
+            return (wrap(bs), key), rew.sum()
 
         (bs_flat, key), rews = jax.lax.scan(
-            body, (flatten_grids(bs), key), None, length=steps)
-        bs = unflatten_grids(bs_flat)
+            body, (wrap(bs), key), None, length=steps)
+        bs = unwrap(bs_flat)
         # scalar checksum over the final carry: forcing its host readback is
         # the only reliable completion barrier on the axon runtime
         # (block_until_ready returns before the work drains there)

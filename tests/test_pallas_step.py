@@ -1,0 +1,107 @@
+"""Pallas megakernel parity: interpret-mode fuzz against the XLA path.
+
+The kernel's bit-exactness on real TPU hardware is additionally verified by
+bench.py (identical trajectory checksums with use_pallas on/off)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module", autouse=True)
+def interpret_pallas():
+    """Force interpret mode (no TPU in the test env)."""
+    import jax.experimental.pallas as pl
+    import arcle_tpu.ops.pallas_step as PS
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    PS.pl.pallas_call = patched
+    yield
+    PS.pl.pallas_call = orig
+
+
+def random_selection(rng):
+    style = rng.integers(0, 4)
+    sel = np.zeros((30, 30), np.int8)
+    if style == 1:
+        sel[rng.integers(0, 30), rng.integers(0, 30)] = 1
+    elif style == 2:
+        x1, x2 = sorted(rng.integers(0, 30, 2))
+        y1, y2 = sorted(rng.integers(0, 30, 2))
+        sel[x1:x2 + 1, y1:y2 + 1] = 1
+    elif style == 3:
+        sel[rng.random((30, 30)) < 0.08] = 1
+    return sel
+
+
+@pytest.mark.parametrize("crop33", [False, True])
+def test_pallas_matches_xla(crop33):
+    from arcle_tpu.ops.pallas_step import pallas_step_deferred, BLK
+    from arcle_tpu.core.state import Action
+    from arcle_tpu.ops import o2arc_table, step_deferred
+    from arcle_tpu.loaders import SyntheticLoader
+    from arcle_tpu.envs import BatchedEnv
+
+    table = o2arc_table(max_trial=3, crop_at_33=crop33)
+    env = BatchedEnv(table=table, bank=SyntheticLoader(8, seed=0).bank(),
+                     max_trial=3)
+    B = BLK
+    bs = env.reset(jax.random.key(0), B)
+    st = bs.env
+    rng = np.random.default_rng(1 + crop33)
+    vstep = jax.jit(jax.vmap(step_deferred, in_axes=(0, 0, None)),
+                    static_argnums=2)
+
+    for t in range(25):
+        ops = rng.integers(0, 35, B).astype(np.int32)
+        sels = np.stack([random_selection(rng) for _ in range(B)])
+        act = Action(selection=jnp.asarray(sels), operation=jnp.asarray(ops))
+        s_ref, r_ref, t_ref, p_ref = vstep(st, act, table)
+        s_pal, r_pal, t_pal, p_pal = pallas_step_deferred(st, act, table)
+        for f in dataclasses.fields(s_ref):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(s_ref, f.name)),
+                np.asarray(getattr(s_pal, f.name)),
+                err_msg=f"step {t} field {f.name}")
+        np.testing.assert_array_equal(np.asarray(r_ref), np.asarray(r_pal))
+        np.testing.assert_array_equal(np.asarray(p_ref), np.asarray(p_pal))
+        st = s_ref
+
+
+def test_pallas_reset_on_submit():
+    from arcle_tpu.ops.pallas_step import pallas_step_deferred, BLK
+    from arcle_tpu.core.state import Action
+    from arcle_tpu.ops import o2arc_table, step_deferred
+    from arcle_tpu.loaders import SyntheticLoader
+    from arcle_tpu.envs import BatchedEnv, ResetOptions
+
+    table = o2arc_table(max_trial=5)
+    opts = ResetOptions.make(reset_on_submit=True)
+    env = BatchedEnv(table=table, bank=SyntheticLoader(4, seed=2).bank(),
+                     max_trial=5, opts=opts)
+    B = BLK
+    bs = env.reset(jax.random.key(0), B)
+    st = bs.env
+    rng = np.random.default_rng(9)
+    vstep = jax.jit(jax.vmap(step_deferred, in_axes=(0, 0, None)),
+                    static_argnums=2)
+    for t in range(12):
+        ops = np.where(rng.random(B) < 0.3, 34,
+                       rng.integers(0, 35, B)).astype(np.int32)
+        sels = np.stack([random_selection(rng) for _ in range(B)])
+        act = Action(selection=jnp.asarray(sels), operation=jnp.asarray(ops))
+        s_ref, r_ref, *_ = vstep(st, act, table)
+        s_pal, r_pal, *_ = pallas_step_deferred(st, act, table)
+        for f in dataclasses.fields(s_ref):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(s_ref, f.name)),
+                np.asarray(getattr(s_pal, f.name)),
+                err_msg=f"ros step {t} field {f.name}")
+        st = s_ref
