@@ -134,6 +134,13 @@ class Loader(ABC):
 
 
 def _parse_arc_json(text: str) -> TaskTuple:
+    # native C++ baker first (arcle_tpu/native/bake.cpp), json fallback
+    from ..native import bake_task_native
+    baked = bake_task_native(text)
+    if baked is not None:
+        train, test = baked
+        return ([i for i, _ in train], [o for _, o in train],
+                [i for i, _ in test], [o for _, o in test], {})
     problem = json.loads(text)
     ti = [np.array(d["input"], np.int8) for d in problem["train"]]
     to = [np.array(d["output"], np.int8) for d in problem["train"]]

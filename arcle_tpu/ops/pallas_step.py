@@ -19,7 +19,7 @@ Kernel-level design (see also the axon-runtime notes in envs/core.py):
   with constant 900x900 one-hot matrices on the MXU, then re-anchored
   with a single-axis flat roll (row multiples for rot90/flipud, in-row
   for rot270/fliplr — no wrap either way).
-* flood fill: in-row/в-column reachability via doubling on
+* flood fill: in-row / in-column reachability via doubling on
   (reachable, run) pairs with row-boundary masks — 5 steps per
   direction, all in VMEM; unconverged components defer to the caller's
   fixpoint fallback exactly like the XLA path.

@@ -33,6 +33,16 @@ from .emaml import (
 from .rollout import rollout
 
 
+def _pallas_enabled(cfg: RunConfig) -> bool:
+    import jax
+    mode = getattr(cfg.env, "use_pallas", "auto")
+    on_tpu = jax.devices()[0].platform == "tpu"
+    n = cfg.env.n_envs
+    if cfg.algo == "emaml":
+        n = cfg.emaml.envs_per_task
+    return (mode == "on") or (mode == "auto" and on_tpu and n % 64 == 0)
+
+
 def build_agent(cfg: RunConfig):
     if cfg.model == "gpt":
         from ..models.gpt import GPTPolicy
@@ -49,7 +59,8 @@ def run_ppo(cfg: RunConfig, logger: MetricLogger):
                      max_trial=cfg.env.max_trial,
                      episode_limit=cfg.env.episode_limit,
                      auto_reset=True, dense_reward=cfg.env.dense_reward,
-                     augment=cfg.env.augment)
+                     augment=cfg.env.augment,
+                     use_pallas=_pallas_enabled(cfg))
     agent = build_agent(cfg)
     key = jax.random.key(cfg.seed)
     key, ki, kr = jax.random.split(key, 3)
@@ -116,7 +127,8 @@ def run_emaml(cfg: RunConfig, logger: MetricLogger):
                          episode_limit=cfg.env.episode_limit,
                          auto_reset=True,
                          dense_reward=cfg.env.dense_reward,
-                         augment=cfg.env.augment, opts=opts)
+                         augment=cfg.env.augment, opts=opts,
+                         use_pallas=_pallas_enabled(cfg))
         bs = env.reset(kr, n_envs)
         st, bs, metrics = step_j(st, env, bs, agent, ecfg)
         # wandb schema keys (train.py:130-150)

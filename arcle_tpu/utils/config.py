@@ -26,6 +26,7 @@ class EnvConfig:
     n_synthetic_tasks: int = 32
     dense_reward: bool = True       # CustomO2ARCEnv shaping
     augment: bool = True
+    use_pallas: str = "auto"        # auto | on | off (megakernel step)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -163,6 +163,73 @@ def bench_tpu(batch: int, steps: int, iters: int, seed: int = 0) -> float:
     return best
 
 
+def bench_scaling(batch_per_device: int, steps: int):
+    """Sharded-throughput harness: same per-device env batch, increasing
+    device counts; reports steps/s/device and scaling efficiency.  On this
+    single-chip host it exercises the mechanism over the virtual CPU mesh
+    (JAX_PLATFORMS=cpu + --xla_force_host_platform_device_count); on a pod
+    slice it measures the real ICI numbers (env stepping needs no
+    cross-device communication, so efficiency should be ~100%)."""
+    import jax
+    import jax.numpy as jnp
+    from arcle_tpu.core.state import Action
+    from arcle_tpu.core.geometry import bbox_selection
+    from arcle_tpu.envs import BatchedEnv
+    from arcle_tpu.loaders import SyntheticLoader
+    from arcle_tpu.ops import o2arc_table
+    from arcle_tpu.parallel import make_mesh, shard_leading
+
+    env = BatchedEnv(table=o2arc_table(max_trial=-1),
+                     bank=SyntheticLoader(16, seed=3).bank(),
+                     max_trial=-1, episode_limit=100, auto_reset=True)
+    n_dev = len(jax.devices())
+    base_rate = None
+    results = {}
+    counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_dev]
+    for n in counts:
+        mesh = make_mesh((n,), ("data",), devices=jax.devices()[:n])
+        B = batch_per_device * n
+
+        def random_actions(key):
+            k1, k2 = jax.random.split(key)
+            c = jax.random.randint(k1, (4, B), 0, 30)
+            ops = jax.random.randint(k2, (B,), 0, env.table.n_ops)
+            sels = jax.vmap(bbox_selection,
+                            in_axes=(0, 0, 0, 0, None, None))(
+                c[0], c[1], c[2], c[3], 30, 30)
+            return Action(selection=sels, operation=ops)
+
+        def rollout(env, bs, key):
+            def body(carry, _):
+                bs, key = carry
+                key, ka = jax.random.split(key)
+                bs, _o, rew, term, trunc = env.step(bs, random_actions(ka))
+                return (bs, key), rew.sum()
+            (bs, key), r = jax.lax.scan(body, (bs, key), None, length=steps)
+            chk = jnp.sum(bs.env.grid.astype(jnp.int32)) + jnp.sum(bs.env.steps)
+            return bs, chk
+
+        bs = shard_leading(env.reset(jax.random.key(0), B), mesh, "data")
+        env_s = shard_leading(env, mesh, "data")
+        with mesh:
+            rj = jax.jit(rollout)
+            out = rj(env_s, bs, jax.random.key(1)); _ = int(out[1])
+            best = 1e9
+            for _ in range(2):
+                t0 = time.perf_counter()
+                out = rj(env_s, out[0], jax.random.key(2)); _ = int(out[1])
+                best = min(best, time.perf_counter() - t0)
+        rate = B * steps / best
+        per_dev = rate / n
+        if base_rate is None:
+            base_rate = per_dev
+        eff = per_dev / base_rate * 100
+        results[n] = (rate, eff)
+        log(f"devices={n}: {rate:,.0f} steps/s total, "
+            f"{per_dev:,.0f}/device, efficiency {eff:.1f}%")
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4096)
@@ -170,7 +237,21 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--ref-steps", type=int, default=3000)
     ap.add_argument("--skip-ref", action="store_true")
+    ap.add_argument("--scaling", action="store_true",
+                    help="multi-device scaling harness instead of the "
+                         "single-chip benchmark")
     args = ap.parse_args()
+
+    if args.scaling:
+        results = bench_scaling(max(args.batch // 8, 64), min(args.steps, 20))
+        n = max(results)
+        rate, eff = results[n]
+        print(json.dumps({
+            "metric": f"O2ARCv2 sharded env-steps/s @ {n} devices",
+            "value": round(rate), "unit": "env-steps/s",
+            "vs_baseline": round(eff, 1),
+        }))
+        return
 
     if args.skip_ref:
         ref_rate = 1.0
