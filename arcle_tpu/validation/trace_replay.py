@@ -135,6 +135,43 @@ def replay_trace(env, trace: Sequence[TraceEntry], reset_options: Dict,
     return True
 
 
+def replay_trace_firstsel(env, trace: Sequence[TraceEntry],
+                          reset_options: Dict, idx: int,
+                          report: ReplayReport) -> bool:
+    """First-selection variant (o2arc_check_firstsel.py): every object op
+    after the first keeps an empty selection (pure continuation), and only
+    ``grid_dim`` is compared per step (its :176-181)."""
+    try:
+        converted = [convert_ui_action(e) for e in trace]
+    except Exception:
+        report.omitted.append(idx)
+        return False
+
+    obs, _info = env.reset(options=reset_options)
+    report.tested += 1
+    prev_obj_op = False
+    for i, (op, sel) in enumerate(converted):
+        if 20 <= op <= 27:
+            if prev_obj_op:
+                sel = np.zeros((30, 30), dtype=np.bool_)
+            prev_obj_op = True
+        else:
+            prev_obj_op = False
+        try:
+            obs, reward, term, trunc, _info = env.step(
+                {"selection": sel.astype(np.int8), "operation": op})
+        except Exception:
+            report.errors.append(idx)
+            return False
+        want = np.asarray(trace[i][3], np.int8)
+        if tuple(int(v) for v in obs["grid_dim"]) != want.shape:
+            report.failures.append(idx)
+            return False
+        if term or trunc:
+            break
+    return True
+
+
 def generate_golden_traces(n_traces: int = 50, seed: int = 0,
                            n_steps: int = 30,
                            tasks: Optional[list] = None):

@@ -115,3 +115,60 @@ def test_reset_distribution_covers_tasks():
     st = jax.vmap(lambda k: reset(bank, k, ResetOptions.make(), -1))(keys)
     dims = np.asarray(st.input_dim)
     assert len(np.unique(dims, axis=0)) > 1   # multiple tasks sampled
+
+
+def test_batched_determinism_under_fixed_seed():
+    """Same key => bit-identical resets and rollouts (SURVEY §4 item)."""
+    from arcle_tpu.core.state import Action
+    import dataclasses
+    loader = SyntheticLoader(6, seed=9)
+    env = BatchedEnv(table=o2arc_table(max_trial=3), bank=loader.bank(),
+                     max_trial=3, episode_limit=10, auto_reset=True)
+    outs = []
+    for _ in range(2):
+        bs = env.reset(jax.random.key(42), 16)
+        key = jax.random.key(7)
+        for t in range(12):
+            key, ka = jax.random.split(key)
+            ops = jax.random.randint(ka, (16,), 0, 35)
+            sel = (jax.random.uniform(ka, (16, 30, 30)) < 0.1).astype(jnp.int8)
+            bs, obs, rew, term, trunc = jax.jit(type(env).step)(
+                env, bs, Action(selection=sel, operation=ops))
+        outs.append(bs)
+    for f in dataclasses.fields(outs[0].env):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(outs[0].env, f.name)),
+            np.asarray(getattr(outs[1].env, f.name)), err_msg=f.name)
+
+
+def test_parity_wide_batch_single_step():
+    """256-env vmapped step equals per-env oracle results (wide-batch
+    semantics invariance, BASELINE config 2 scale)."""
+    from arcle_tpu.core.state import Action
+    from arcle_tpu.ops import step as step_fn
+    from arcle_tpu.oracle import OracleEnv
+    from test_oracle_vs_reference import random_grid, random_selection
+    import jax
+
+    rng = np.random.default_rng(12)
+    B = 256
+    table = o2arc_table(max_trial=3)
+    inps, outs_, states = [], [], []
+    from test_engine_vs_oracle import jax_state_from
+    for i in range(B):
+        inp = random_grid(rng, int(rng.integers(2, 12)), int(rng.integers(2, 12)))
+        out = random_grid(rng, int(rng.integers(2, 12)), int(rng.integers(2, 12)))
+        inps.append(inp); outs_.append(out)
+        states.append(jax_state_from(inp, out, 3))
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    ops = rng.integers(0, 35, B)
+    sels = np.stack([random_selection(rng) for _ in range(B)])
+    act = Action(selection=jnp.asarray(sels), operation=jnp.asarray(ops, jnp.int32))
+    vstep = jax.jit(jax.vmap(step_fn, in_axes=(0, 0, None)), static_argnums=2)
+    b2, rew, term = vstep(batched, act, table)
+    for i in range(0, B, 17):   # spot-check a spread of envs
+        orc = OracleEnv("o2arc", max_trial=3)
+        orc.reset(inps[i], outs_[i])
+        ostate, orew, _ = orc.step(sels[i], int(ops[i]))
+        np.testing.assert_array_equal(np.asarray(b2.grid[i]), ostate["grid"])
+        assert float(rew[i]) == orew

@@ -67,3 +67,53 @@ def test_replay_golden_through_reference_env(golden):
                      {"adaptation": False, "prob_index": ti,
                       "subprob_index": sub}, idx, report)
     assert report.pass_rate == 100.0, report.summary()
+
+
+def test_replay_firstsel_variant():
+    """First-selection harness (o2arc_check_firstsel mechanism): object-op
+    sequences recorded with continuation semantics replay with only
+    grid_dim compared."""
+    import numpy as np
+    from arcle_tpu.oracle import OracleEnv
+    from arcle_tpu.loaders.synthetic import make_tasks
+    from arcle_tpu.validation import convert_ui_action
+    from arcle_tpu.validation.trace_replay import replay_trace_firstsel
+
+    rng = np.random.default_rng(5)
+    tasks = make_tasks(4, seed=6)
+    traces, infos = [], []
+    for t in range(8):
+        ti = int(rng.integers(0, len(tasks)))
+        test_in, test_out = tasks[ti][2][0], tasks[ti][3][0]
+        orc = OracleEnv("o2arc", max_trial=-1)
+        orc.reset(test_in, test_out)
+        trace = []
+        # one bbox-selected object op, then continuation ops with the UI
+        # still logging rectangles (firstsel replay blanks them)
+        a = (int(rng.integers(0, 8)), int(rng.integers(0, 8)))
+        b = (a[0] + int(rng.integers(1, 4)), a[1] + int(rng.integers(1, 4)))
+        seq = [("Move", [a, b, "R"], False)]
+        for _ in range(4):
+            name = ["Move", "RotateCW", "FlipX"][int(rng.integers(0, 3))]
+            data = [a, b, "D"] if name == "Move" else [a, b]
+            seq.append((name, data, True))
+        for name, data, cont in seq:
+            op, sel = convert_ui_action((None, name, data, None))
+            orc_sel = np.zeros((30, 30), np.int8) if cont \
+                else sel.astype(np.int8)
+            st, _r, term = orc.step(orc_sel, op)
+            h, w = (int(v) for v in st["grid_dim"])
+            trace.append((0, name, data, st["grid"][:h, :w].copy()))
+            if term:
+                break
+        traces.append(trace)
+        infos.append((ti, 0))
+
+    env = O2ARCv2Env(data_loader=ListLoader(tasks), max_trial=-1)
+    from arcle_tpu.validation import ReplayReport
+    report = ReplayReport()
+    for idx, (trace, (ti, sub)) in enumerate(zip(traces, infos)):
+        replay_trace_firstsel(env, trace,
+                              {"adaptation": False, "prob_index": ti,
+                               "subprob_index": sub}, idx, report)
+    assert report.pass_rate == 100.0, report.summary()
