@@ -131,6 +131,17 @@ def bbox_selection(x1, y1, x2, y2, H: int, W: int) -> jax.Array:
     return m.astype(jnp.int8)
 
 
+def bbox_selection_flat(x1, y1, x2, y2, H: int, W: int) -> jax.Array:
+    """Rectangular selection as a flat [H*W] int8 mask (pallas flat path)."""
+    x1, y1, x2, y2 = (jnp.asarray(v, I32) for v in (x1, y1, x2, y2))
+    xa, xb = jnp.minimum(x1, x2), jnp.maximum(x1, x2)
+    ya, yb = jnp.minimum(y1, y2), jnp.maximum(y1, y2)
+    lane = jax.lax.broadcasted_iota(I32, (H * W, 1), 0).squeeze(-1)
+    r, c = lane // W, lane % W
+    m = (r >= xa) & (r <= xb) & (c >= ya) & (c <= yb)
+    return m.astype(jnp.int8)
+
+
 def point_selection(x, y, H: int, W: int) -> jax.Array:
     """One-pixel selection mask (wrappers/bbox.py:43-49)."""
     rows, cols = row_col_iota(H, W)

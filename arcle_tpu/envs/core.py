@@ -207,6 +207,59 @@ class BatchedEnv:
             jnp.any(done), do_reset, lambda a: a, (env2, bs.key))
         return BatchedState(env=env3, key=key3), env2, reward, term, trunc
 
+    def step_flat(self, bs: BatchedState, action: Action
+                  ) -> Tuple[BatchedState, EnvState, jax.Array, jax.Array,
+                             jax.Array]:
+        """Fastest TPU path: requires ``use_pallas`` and a carry whose grid
+        leaves are packed flat [B, 900] (``flatten_grids``); the action
+        selection must be flat too.  The rare cond branches (flood fixpoint,
+        auto-reset) convert layouts internally; the steady-state step has no
+        relayout copies at all."""
+        assert self.use_pallas and not self.dense_reward
+        from ..ops.pallas_step import pallas_step_deferred_flat
+        env2, reward, term, pending = pallas_step_deferred_flat(
+            bs.env, action, self.table)
+
+        def flood_fixup(args):
+            env2, action = args
+            env_sq = unflatten_grids(env2)
+            act_sq = Action(selection=action.selection.reshape(-1, 30, 30),
+                            operation=action.operation)
+            fixed = jax.vmap(_finish_flood, in_axes=(0, 0, None, 0))(
+                env_sq, act_sq, self.table, pending)
+            return flatten_grids(fixed)
+
+        env2 = jax.lax.cond(
+            jnp.any(pending), flood_fixup, lambda a: a[0], (env2, action))
+
+        if self.episode_limit > 0:
+            trunc = env2.steps >= self.episode_limit
+        else:
+            trunc = jnp.zeros_like(term)
+        if not self.auto_reset:
+            return (BatchedState(env=env2, key=bs.key),
+                    env2, reward, term, trunc)
+        done = term | trunc
+
+        def do_reset(args):
+            env2, keys = args
+            split = jax.vmap(jax.random.split)(keys)
+            next_key, reset_key = split[:, 0], split[:, 1]
+            fresh = flatten_grids(jax.vmap(
+                lambda k, b, o: reset(b, k, o, self.max_trial, self.augment),
+                in_axes=(0, None, self._opts_axes()))(
+                reset_key, self.bank, self.opts))
+            env3 = jax.tree.map(
+                lambda a, b: jnp.where(
+                    done.reshape((-1,) + (1,) * (a.ndim - 1)), b, a),
+                env2, fresh)
+            key3 = jnp.where(done, next_key, keys)
+            return env3, key3
+
+        env3, key3 = jax.lax.cond(
+            jnp.any(done), do_reset, lambda a: a, (env2, bs.key))
+        return BatchedState(env=env3, key=key3), env2, reward, term, trunc
+
 
 jax.tree_util.register_dataclass(
     BatchedEnv,

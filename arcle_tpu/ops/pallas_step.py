@@ -500,12 +500,11 @@ def _step_kernel(table: OpTable, *refs):
             ref[:] = v.astype(I32)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def pallas_step_deferred(state: EnvState, action: Action, table: OpTable):
-    """Drop-in replacement for ``vmap(step_deferred)`` over a batch.
-
-    Returns ``(new_state, reward, terminated, pending)`` exactly like the
-    XLA path; the grid work happens in one Pallas kernel."""
+def _step_impl(state: EnvState, action: Action, table: OpTable,
+               flat_state: bool):
+    """Shared wrapper body; ``flat_state`` means the grid leaves of state
+    (and the action selection) are already packed [B, 900] — no relayout
+    copies at the kernel boundary, the fastest path for long rollouts."""
     B = state.grid.shape[0]
     assert B % BLK == 0, (B, BLK)
     op = jnp.clip(action.operation.astype(I32), 0, table.n_ops - 1)
@@ -513,7 +512,7 @@ def pallas_step_deferred(state: EnvState, action: Action, table: OpTable):
     par = jnp.asarray(table.param, I32)[op]
     rs = jnp.asarray(table.reset_sel, I32)[op]
 
-    flat = lambda x: x.reshape(B, P)
+    flat = (lambda x: x) if flat_state else (lambda x: x.reshape(B, P))
     col2 = lambda x: x.astype(I32).reshape(B, 1)
 
     grid_in = [flat(state.grid), flat(state.input), flat(state.answer),
@@ -554,7 +553,7 @@ def pallas_step_deferred(state: EnvState, action: Action, table: OpTable):
     )(*grid_in, *scal_in, *perms)
 
     o = dict(zip(GRID_FIELDS_OUT + SCALAR_FIELDS_OUT, outs))
-    unflat = lambda x: x.reshape(B, H, W)
+    unflat = (lambda x: x) if flat_state else (lambda x: x.reshape(B, H, W))
     d2 = lambda a, b: jnp.stack([o[a][:, 0], o[b][:, 0]], -1).astype(I8)
     s2 = state.replace(
         grid=unflat(o["grid"]), selected=unflat(o["selected"]),
@@ -576,3 +575,20 @@ def pallas_step_deferred(state: EnvState, action: Action, table: OpTable):
     s2 = s2.replace(steps=state.steps + 1, last_action_op=op,
                     last_reward=reward)
     return s2, reward, s2.terminated != 0, pending
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def pallas_step_deferred(state: EnvState, action: Action, table: OpTable):
+    """Drop-in replacement for ``vmap(step_deferred)`` over a batch.
+
+    Returns ``(new_state, reward, terminated, pending)`` exactly like the
+    XLA path; the grid work happens in one Pallas kernel."""
+    return _step_impl(state, action, table, flat_state=False)
+
+
+def pallas_step_deferred_flat(state: EnvState, action: Action,
+                              table: OpTable):
+    """Flat-layout variant: all [H,W] leaves of ``state`` and the action
+    selection are packed [B, 900] (see envs.core.flatten_grids), which
+    removes the per-step relayout copies at the custom-call boundary."""
+    return _step_impl(state, action, table, flat_state=True)

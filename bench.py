@@ -104,11 +104,14 @@ def bench_tpu(batch: int, steps: int, iters: int, seed: int = 0) -> float:
 
     H = W = 30
 
-    def random_actions(key, n_ops):
+    from arcle_tpu.core.geometry import bbox_selection_flat
+
+    def random_actions(key, n_ops, flat):
         k1, k2 = jax.random.split(key)
         corners = jax.random.randint(k1, (4, batch), 0, H)
         ops = jax.random.randint(k2, (batch,), 0, n_ops)
-        sels = jax.vmap(bbox_selection, in_axes=(0, 0, 0, 0, None, None))(
+        builder = bbox_selection_flat if flat else bbox_selection
+        sels = jax.vmap(builder, in_axes=(0, 0, 0, 0, None, None))(
             corners[0], corners[1], corners[2], corners[3], H, W)
         return Action(selection=sels, operation=ops)
 
@@ -117,23 +120,25 @@ def bench_tpu(batch: int, steps: int, iters: int, seed: int = 0) -> float:
     # (see BatchedEnv docstring).
     from arcle_tpu.envs.core import flatten_grids, unflatten_grids
 
-    # with the pallas megakernel the state is already packed flat inside
-    # the kernel boundary; the flat scan carry only helps the XLA path
-    wrap = (lambda x: x) if use_pallas else flatten_grids
-    unwrap = (lambda x: x) if use_pallas else unflatten_grids
-
+    # pallas path: fully-flat carries + flat actions through step_flat (no
+    # relayout copies per step); XLA path: flat carries, square step
     def rollout(env, bs, key):
         def body(carry, _):
             bs_flat, key = carry
-            bs = unwrap(bs_flat)
             key, ka = jax.random.split(key)
-            act = random_actions(ka, env.table.n_ops)
-            bs, _obs, rew, term, trunc = env.step(bs, act)
-            return (wrap(bs), key), rew.sum()
+            if use_pallas:
+                act = random_actions(ka, env.table.n_ops, True)
+                bs_flat, _obs, rew, term, trunc = env.step_flat(bs_flat, act)
+            else:
+                b = unflatten_grids(bs_flat)
+                act = random_actions(ka, env.table.n_ops, False)
+                b, _obs, rew, term, trunc = env.step(b, act)
+                bs_flat = flatten_grids(b)
+            return (bs_flat, key), rew.sum()
 
         (bs_flat, key), rews = jax.lax.scan(
-            body, (wrap(bs), key), None, length=steps)
-        bs = unwrap(bs_flat)
+            body, (flatten_grids(bs), key), None, length=steps)
+        bs = unflatten_grids(bs_flat)
         # scalar checksum over the final carry: forcing its host readback is
         # the only reliable completion barrier on the axon runtime
         # (block_until_ready returns before the work drains there)

@@ -105,3 +105,44 @@ def test_pallas_reset_on_submit():
                 np.asarray(getattr(s_pal, f.name)),
                 err_msg=f"ros step {t} field {f.name}")
         st = s_ref
+
+
+def test_step_flat_matches_square():
+    """BatchedEnv.step_flat (flat carry, flat actions) == BatchedEnv.step."""
+    import dataclasses
+    from arcle_tpu.core.state import Action
+    from arcle_tpu.core.geometry import bbox_selection, bbox_selection_flat
+    from arcle_tpu.envs import BatchedEnv
+    from arcle_tpu.envs.core import flatten_grids, unflatten_grids
+    from arcle_tpu.ops import o2arc_table
+    from arcle_tpu.loaders import SyntheticLoader
+    from arcle_tpu.ops.pallas_step import BLK
+
+    env = BatchedEnv(table=o2arc_table(max_trial=2),
+                     bank=SyntheticLoader(6, seed=1).bank(), max_trial=2,
+                     episode_limit=6, auto_reset=True, use_pallas=True)
+    B = BLK
+    bs0 = env.reset(jax.random.key(0), B)
+    rng = np.random.default_rng(3)
+
+    bs_sq, bs_fl = bs0, dataclasses.replace(bs0, env=flatten_grids(bs0.env))
+    for t in range(8):
+        c = rng.integers(0, 30, (4, B))
+        ops = jnp.asarray(rng.integers(0, 35, B), jnp.int32)
+        sq = jax.vmap(bbox_selection, in_axes=(0, 0, 0, 0, None, None))(
+            c[0], c[1], c[2], c[3], 30, 30)
+        fl = jax.vmap(bbox_selection_flat, in_axes=(0, 0, 0, 0, None, None))(
+            c[0], c[1], c[2], c[3], 30, 30)
+        bs_sq, o1, r1, t1, tr1 = env.step(bs_sq, Action(selection=sq,
+                                                        operation=ops))
+        bs_fl, o2, r2, t2, tr2 = env.step_flat(bs_fl,
+                                               Action(selection=fl,
+                                                      operation=ops))
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+        sq_env = bs_sq.env
+        fl_env = unflatten_grids(bs_fl.env)
+        for f in dataclasses.fields(sq_env):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(sq_env, f.name)),
+                np.asarray(getattr(fl_env, f.name)),
+                err_msg=f"step {t} field {f.name}")
