@@ -202,12 +202,16 @@ SCALAR_FIELDS_OUT = ("grid_h", "grid_w", "clip_h", "clip_w", "obj_h",
 
 
 def _step_kernel(table: OpTable, *refs):
-    n_in = len(GRID_FIELDS_IN) + 1 + len(SCALAR_FIELDS_IN) + 2
+    n_in = len(GRID_FIELDS_IN) + 1 + 1 + 2
     ins, outs = refs[:n_in], refs[n_in:]
     it = iter(ins)
     gv = {k: next(it)[:] for k in GRID_FIELDS_IN}
     sel_act = next(it)[:]
-    sv = {k: next(it)[:] for k in SCALAR_FIELDS_IN}
+    # all per-env scalars packed into one [BLK, n] i32 block: a (BLK,1)
+    # ref still occupies a full 128-lane tile, so 20 separate refs waste
+    # VMEM and operand-marshalling time
+    packed = next(it)[:]
+    sv = {k: packed[:, i:i + 1] for i, k in enumerate(SCALAR_FIELDS_IN)}
     perm_r90, perm_lr = (next(it) for _ in range(2))
 
     shape = gv["grid"].shape
@@ -492,12 +496,11 @@ def _step_kernel(table: OpTable, *refs):
                              match.astype(I32))
     out["pending"] = pending.astype(I32)
 
-    for name, ref in zip(GRID_FIELDS_OUT + SCALAR_FIELDS_OUT, outs):
-        v = out[name]
-        if name in GRID_FIELDS_OUT:
-            ref[:] = v.astype(I8)
-        else:
-            ref[:] = v.astype(I32)
+    for name, ref in zip(GRID_FIELDS_OUT, outs[:len(GRID_FIELDS_OUT)]):
+        ref[:] = out[name].astype(I8)
+    packed_out = jnp.concatenate(
+        [out[name].astype(I32) for name in SCALAR_FIELDS_OUT], axis=1)
+    outs[len(GRID_FIELDS_OUT)][:] = packed_out
 
 
 def _step_impl(state: EnvState, action: Action, table: OpTable,
@@ -519,26 +522,26 @@ def _step_impl(state: EnvState, action: Action, table: OpTable,
                flat(state.selected), flat(state.clip), flat(state.object),
                flat(state.object_sel), flat(state.background),
                flat(action.selection)]
-    scal_in = [col2(state.grid_dim[:, 0]), col2(state.grid_dim[:, 1]),
-               col2(state.input_dim[:, 0]), col2(state.input_dim[:, 1]),
-               col2(state.answer_dim[:, 0]), col2(state.answer_dim[:, 1]),
-               col2(state.clip_dim[:, 0]), col2(state.clip_dim[:, 1]),
-               col2(state.object_dim[:, 0]), col2(state.object_dim[:, 1]),
-               col2(state.object_pos[:, 0]), col2(state.object_pos[:, 1]),
-               col2(state.active), col2(state.rotation_parity),
-               col2(state.trials_remain), col2(state.terminated),
-               col2(state.reset_on_submit), col2(grp), col2(par), col2(rs)]
+    scal_cols = [state.grid_dim[:, 0], state.grid_dim[:, 1],
+                 state.input_dim[:, 0], state.input_dim[:, 1],
+                 state.answer_dim[:, 0], state.answer_dim[:, 1],
+                 state.clip_dim[:, 0], state.clip_dim[:, 1],
+                 state.object_dim[:, 0], state.object_dim[:, 1],
+                 state.object_pos[:, 0], state.object_pos[:, 1],
+                 state.active, state.rotation_parity,
+                 state.trials_remain, state.terminated,
+                 state.reset_on_submit, grp, par, rs]
+    packed = jnp.stack([c.astype(I32) for c in scal_cols], axis=1)
     perms = [jnp.asarray(_PERM_ROT90, jnp.bfloat16),
              jnp.asarray(_PERM_FLIPLR, jnp.bfloat16)]
 
     n_grid_out = len(GRID_FIELDS_OUT)
+    n_sc_in = len(SCALAR_FIELDS_IN)
+    n_sc_out = len(SCALAR_FIELDS_OUT)
     out_shapes = ([jax.ShapeDtypeStruct((B, P), I8)] * n_grid_out
-                  + [jax.ShapeDtypeStruct((B, 1), I32)]
-                  * len(SCALAR_FIELDS_OUT))
+                  + [jax.ShapeDtypeStruct((B, n_sc_out), I32)])
 
     gspec = pl.BlockSpec((BLK, P), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec((BLK, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     pspec = pl.BlockSpec((P, P), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
@@ -546,13 +549,19 @@ def _step_impl(state: EnvState, action: Action, table: OpTable,
         functools.partial(_step_kernel, table),
         grid=(B // BLK,),
         out_shape=tuple(out_shapes),
-        in_specs=[gspec] * 9 + [sspec] * len(SCALAR_FIELDS_IN)
+        in_specs=[gspec] * 9
+        + [pl.BlockSpec((BLK, n_sc_in), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)]
         + [pspec] * 2,
         out_specs=tuple([gspec] * n_grid_out
-                        + [sspec] * len(SCALAR_FIELDS_OUT)),
-    )(*grid_in, *scal_in, *perms)
+                        + [pl.BlockSpec((BLK, n_sc_out), lambda i: (i, 0),
+                                        memory_space=pltpu.VMEM)]),
+    )(*grid_in, packed, *perms)
 
-    o = dict(zip(GRID_FIELDS_OUT + SCALAR_FIELDS_OUT, outs))
+    sc = outs[n_grid_out]
+    o = dict(zip(GRID_FIELDS_OUT, outs[:n_grid_out]))
+    for i, name in enumerate(SCALAR_FIELDS_OUT):
+        o[name] = sc[:, i:i + 1]
     unflat = (lambda x: x) if flat_state else (lambda x: x.reshape(B, H, W))
     d2 = lambda a, b: jnp.stack([o[a][:, 0], o[b][:, 0]], -1).astype(I8)
     s2 = state.replace(

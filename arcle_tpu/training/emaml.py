@@ -72,7 +72,7 @@ def init_emaml(agent: Agent, cfg: EMAMLConfig, key: jax.Array,
                obs_dim: int = None) -> EMAMLState:
     kp, kk = jax.random.split(key)
     obs_dim = obs_dim if obs_dim is not None else agent.obs_dim
-    params = agent.init_fn(kp, jnp.zeros((1, obs_dim), jnp.float32))
+    params = agent.init_fn(kp, jnp.zeros((1, obs_dim), jnp.int8))
     tx = make_meta_optimizer(cfg)
     return EMAMLState(
         params=params, opt_state=tx.init(params),

@@ -56,15 +56,17 @@ class Throughput:
         self.reset()
 
     def reset(self):
-        self._t0 = time.perf_counter()
-        self._steps = 0
+        self._last = time.perf_counter()
 
     def tick(self, n_env_steps: int, barrier_scalar=None) -> float:
+        """Instantaneous rate over the window since the previous tick
+        (the first window includes compilation)."""
         if barrier_scalar is not None:
             float(np.asarray(barrier_scalar).reshape(-1)[0])
-        self._steps += n_env_steps
-        dt = time.perf_counter() - self._t0
-        return self._steps / max(dt, 1e-9)
+        now = time.perf_counter()
+        rate = n_env_steps / max(now - self._last, 1e-9)
+        self._last = now
+        return rate
 
 
 @contextlib.contextmanager

@@ -64,7 +64,9 @@ def flatten_obs(state: EnvState) -> jax.Array:
             flat.append(v)                            # [..., 2]
         else:                                         # scalars -> [..., 1]
             flat.append(v[..., None])
-    return jnp.concatenate([f.astype(jnp.float32) for f in flat], axis=-1)
+    # int8 keeps rollout storage/traffic 4x smaller; every field fits the
+    # int8 range by the observation-space contract. Models cast on entry.
+    return jnp.concatenate([f.astype(jnp.int8) for f in flat], axis=-1)
 
 
 # Full 16-field flattening in the reference's FlattenObservation order
@@ -92,7 +94,7 @@ def full_flatten_obs(state: EnvState) -> jax.Array:
             flat.append(v)
         else:
             flat.append(v[..., None])
-    return jnp.concatenate([f.astype(jnp.float32) for f in flat], axis=-1)
+    return jnp.concatenate([f.astype(jnp.int8) for f in flat], axis=-1)
 
 
 def unflatten_full(obs: jax.Array, H: int = 30, W: int = 30):
