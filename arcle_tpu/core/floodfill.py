@@ -81,9 +81,17 @@ def connected_component_partial(region: jax.Array, seed_mask: jax.Array,
     mask = (seed_mask != 0) & region
     for _ in range(unroll):
         mask = sweep(mask, region)
-    check = sweep(mask, region)
-    converged = ~jnp.any(check != mask)
-    return check, converged
+    # exact convergence test without another sweep: the component is
+    # complete iff no region cell outside the mask touches it (4-adjacency)
+    rows = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1)
+    nb = ((jnp.roll(mask, 1, 0) & (rows > 0))
+          | (jnp.roll(mask, -1, 0) & (rows < mask.shape[0] - 1))
+          | (jnp.roll(mask, 1, 1) & (cols > 0))
+          | (jnp.roll(mask, -1, 1) & (cols < mask.shape[1] - 1)))
+    frontier = region & ~mask & nb
+    converged = ~jnp.any(frontier)
+    return mask, converged
 
 
 def connected_component(region: jax.Array, seed_mask: jax.Array,

@@ -278,10 +278,15 @@ def _step_kernel(table: OpTable, *refs):
         comp = seed & region
         for _ in range(FLOOD_UNROLL):
             comp = _sweep(comp, region, row, col)
-        check = _sweep(comp, region, row, col)
-        # i1 equality lowers to an unsupported packed-i8 cmpi; use i32 xor
-        fl_conv = ~_any(check.astype(I32) ^ comp.astype(I32))
-        comp = check
+        # exact convergence: no region cell outside comp touches comp
+        # (frontier dilation is ~6 passes vs ~40 for another sweep)
+        c8 = comp.astype(I8)
+        nb = ((jnp.roll(c8, 1, 1) & (col % W > 0).astype(I8))
+              | (jnp.roll(c8, -1, 1) & (col % W < W - 1).astype(I8))
+              | (jnp.roll(c8, W, 1) & (row > 0).astype(I8))
+              | (jnp.roll(c8, -W, 1) & (row < H - 1).astype(I8)))
+        frontier = region & (~comp) & (nb != 0)
+        fl_conv = ~_any(frontier)
         grid_flood = jnp.where(comp & fl_valid & fl_conv, par.astype(I8),
                                grid)
         pending = (grp == G.FLOOD) & fl_valid & ~fl_conv

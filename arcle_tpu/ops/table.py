@@ -148,7 +148,7 @@ _GROUP_FNS = (
     g.resize_to_answer, # 11
 )
 
-FLOOD_UNROLL = 1
+FLOOD_UNROLL = 2
 
 
 def transition_deferred(state: EnvState, action: Action, table: OpTable):
