@@ -200,7 +200,8 @@ class BatchedEnv:
                 lambda a, b: jnp.where(
                     done.reshape((-1,) + (1,) * (a.ndim - 1)), b, a),
                 env2, fresh)
-            key3 = jnp.where(done, next_key, keys)
+            kmask = done if next_key.ndim == 1 else done[:, None]
+            key3 = jnp.where(kmask, next_key, keys)
             return env3, key3
 
         env3, key3 = jax.lax.cond(
@@ -253,7 +254,10 @@ class BatchedEnv:
                 lambda a, b: jnp.where(
                     done.reshape((-1,) + (1,) * (a.ndim - 1)), b, a),
                 env2, fresh)
-            key3 = jnp.where(done, next_key, keys)
+            # raw uint32 [B,2] keys need the trailing axis broadcast;
+            # typed key arrays are logically [B]
+            kmask = done if next_key.ndim == 1 else done[:, None]
+            key3 = jnp.where(kmask, next_key, keys)
             return env3, key3
 
         env3, key3 = jax.lax.cond(

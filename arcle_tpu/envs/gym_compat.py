@@ -29,6 +29,9 @@ from ..loaders import Loader, ARCLoader
 from ..ops.table import OpTable, raw_table, arc_table, o2arc_table, step
 from ..utils.render import render_ansi_core, render_ansi_o2
 
+# One compiled step per op table, shared by every adapter instance.
+_JIT_STEP = jax.jit(step, static_argnums=2)
+
 
 class JaxARCEnvBase(gym.Env):
     """Common adapter machinery (counterpart of AbstractARCEnv)."""
@@ -60,7 +63,6 @@ class JaxARCEnvBase(gym.Env):
         self.observation_space = self.create_state_space()
         self.action_space = self.create_action_space(self.table.n_ops)
 
-        self._jit_step = jax.jit(step, static_argnums=2)
         self._state: Optional[EnvState] = None
         self.last_action: Optional[Dict] = None
         self.last_action_op: Optional[int] = None
@@ -167,7 +169,7 @@ class JaxARCEnvBase(gym.Env):
         op = int(action["operation"])
         act = Action(selection=jnp.asarray(action["selection"], jnp.int8),
                      operation=jnp.asarray(op, jnp.int32))
-        self._state, reward, term = self._jit_step(self._state, act, self.table)
+        self._state, reward, term = _JIT_STEP(self._state, act, self.table)
         reward = float(reward)
         self.last_action = action
         self.last_action_op = op

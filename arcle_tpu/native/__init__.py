@@ -52,7 +52,7 @@ def available() -> bool:
     return _load() is not None
 
 
-def bake_task_native(text: str, max_pairs: int = 64):
+def bake_task_native(text: str, max_pairs: int = 256):
     """Parse one ARC task JSON with the C++ baker.
 
     Returns ``(train_pairs, test_pairs)`` where each pair is

@@ -125,7 +125,8 @@ int bake_task(const char* text, long len, int8_t* grids, int* dims,
         if (!c.eat(':')) return -1;
         if (!c.eat('[')) return -1;
         while (!c.at(']')) {
-            if (written >= max_pairs) return written;
+            // refuse rather than truncate: caller falls back to Python
+            if (written >= max_pairs) return -1;
             if (!c.eat('{')) return -1;
             // "input" ... "output" within this pair object
             Cursor pair = c;

@@ -27,15 +27,15 @@ class PPOConfig:
 
     gamma: float = 0.9
     gae_lambda: float = 1.0
-    clip_eps: float = 0.3
-    vf_clip: float = 10.0
-    vf_coeff: float = 1.0
-    entropy_coeff: float = 0.0
+    clip_eps: float = 0.3        # clip_param (emaml.py:122)
+    vf_clip: float = 10.0        # vf_clip_param (emaml.py:123)
+    vf_coeff: float = 0.1        # vf_loss_coeff (train.py:56)
+    entropy_coeff: float = 0.0   # (emaml.py:121)
     kl_coeff: float = 0.0005
     lr: float = 1e-4
     n_epochs: int = 1
     n_minibatches: int = 1
-    max_grad_norm: float = 0.0   # 0 = off
+    max_grad_norm: float = 10.0  # grad_clip (train.py:58); 0 = off
 
 
 class PPOBatch(NamedTuple):

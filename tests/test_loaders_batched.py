@@ -172,3 +172,18 @@ def test_parity_wide_batch_single_step():
         ostate, orew, _ = orc.step(sels[i], int(ops[i]))
         np.testing.assert_array_equal(np.asarray(b2.grid[i]), ostate["grid"])
         assert float(rew[i]) == orew
+
+
+def test_auto_reset_with_legacy_uint32_keys():
+    """Raw PRNGKey (uint32 [2]) layout must work through auto-reset
+    (regression: done-mask broadcast against [B, 2] keys)."""
+    env = BatchedEnv(table=o2arc_table(max_trial=1),
+                     bank=SyntheticLoader(4, seed=0).bank(), max_trial=1,
+                     episode_limit=3, auto_reset=True)
+    B = 4
+    bs = env.reset(jax.random.PRNGKey(0), B)   # legacy key
+    act = Action(selection=jnp.zeros((B, 30, 30), jnp.int8),
+                 operation=jnp.full((B,), 34, jnp.int32))
+    bs2, obs, rew, term, trunc = jax.jit(type(env).step)(env, bs, act)
+    assert bool(term.all())
+    assert (np.asarray(bs2.env.trials_remain) == 1).all()
