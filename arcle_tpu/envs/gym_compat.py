@@ -74,6 +74,13 @@ class JaxARCEnvBase(gym.Env):
         self.answer: Optional[np.ndarray] = None
         self.description: Dict = {}
 
+    @property
+    def current_state(self) -> Dict:
+        """The full observation dict (the reference exposes the mutable
+        state dict as ``current_state``, base.py:24; here it is a read-only
+        snapshot)."""
+        return self._observation()
+
     # ---- reference-parity construction hooks ----
     def _make_table(self, max_trial: int) -> OpTable:
         raise NotImplementedError
