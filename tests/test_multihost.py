@@ -1,0 +1,57 @@
+"""Multi-host (multi-process) sharded stepping via jax.distributed:
+2 CPU processes x 4 virtual devices must produce the exact rollout
+checksum of a single 8-device process (SURVEY §4: 'multi-host tests via
+jax.distributed with CPU fakes')."""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+
+
+def _clean_env():
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon_site" not in p)
+    return env
+
+
+def _checksum(out: str):
+    m = re.findall(r"CHECKSUM proc=(\d+) nproc=(\d+) value=(-?\d+)", out)
+    return {int(p): int(v) for p, _n, v in m}
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_rollout_matches_single_process():
+    env = _clean_env()
+    single = subprocess.run(
+        [sys.executable, _WORKER, "0", "1", "0"], env=env,
+        capture_output=True, text=True, timeout=420)
+    assert single.returncode == 0, single.stderr[-2000:]
+    ref = _checksum(single.stdout)[0]
+
+    port = str(_free_port())
+    procs = [subprocess.Popen(
+        [sys.executable, _WORKER, str(pid), "2", port], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se[-2000:]
+    chks = {}
+    for so, _ in outs:
+        chks.update(_checksum(so))
+    assert chks[0] == chks[1] == ref, (chks, ref)
