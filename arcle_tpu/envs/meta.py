@@ -46,8 +46,16 @@ def augment_task(key: jax.Array, grid: jax.Array, dim: jax.Array,
         nd = jnp.where(odd, d[::-1], d).astype(I8)
         return out, nd
 
-    grid = perm[grid]
-    answer = perm[answer]
+    # apply the permutation with compare-selects (a per-cell LUT gather is
+    # pathologically slow on the axon runtime)
+    def recolor(g):
+        out = g
+        for c in range(colors):
+            out = jnp.where(g == c, perm[c], out)
+        return out
+
+    grid = recolor(grid)
+    answer = recolor(answer)
     grid, dim = rot_padded(grid, dim)
     answer, answer_dim = rot_padded(answer, answer_dim)
     return grid, dim, answer, answer_dim

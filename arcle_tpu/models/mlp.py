@@ -17,6 +17,16 @@ import jax
 import jax.numpy as jnp
 
 
+def onehot_take(a: jax.Array, idx: jax.Array) -> jax.Array:
+    """``take_along_axis(a, idx[..., None], -1)[..., 0]`` as one-hot
+    arithmetic — batched 1-element gathers are pathologically slow on the
+    axon TPU runtime, iota-compare + reduce is a cheap fused pass."""
+    n = a.shape[-1]
+    classes = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    oh = (idx[..., None] == classes).astype(a.dtype)
+    return jnp.sum(a * oh, axis=-1)
+
+
 class FCPolicy(nn.Module):
     """Tanh MLP torso + multi-categorical action logits + value head.
 
@@ -52,8 +62,7 @@ def multi_categorical_sample(key, logits_tuple):
     samples, lps = [], []
     for k, logits in zip(keys, logits_tuple):
         a = jax.random.categorical(k, logits, axis=-1)
-        lp = jnp.take_along_axis(jax.nn.log_softmax(logits, -1),
-                                 a[..., None], axis=-1).squeeze(-1)
+        lp = onehot_take(jax.nn.log_softmax(logits, -1), a)
         samples.append(a.astype(jnp.int32))
         lps.append(lp)
     return jnp.stack(samples, axis=-1), sum(lps)
@@ -62,10 +71,8 @@ def multi_categorical_sample(key, logits_tuple):
 def multi_categorical_log_prob(logits_tuple, actions):
     lps = []
     for i, logits in enumerate(logits_tuple):
-        lp = jnp.take_along_axis(jax.nn.log_softmax(logits, -1),
-                                 actions[..., i][..., None],
-                                 axis=-1).squeeze(-1)
-        lps.append(lp)
+        lps.append(onehot_take(jax.nn.log_softmax(logits, -1),
+                               actions[..., i]))
     return sum(lps)
 
 

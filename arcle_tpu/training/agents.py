@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..models.mlp import (
     FCPolicy, multi_categorical_sample, multi_categorical_log_prob,
-    multi_categorical_entropy,
+    multi_categorical_entropy, onehot_take,
 )
 from ..models.gpt import GPTPolicy
 from ..models.truncated_normal import TruncatedNormal
@@ -74,8 +74,11 @@ def _gpt_forward(model: GPTPolicy, params, obs):
 
 
 def _gpt_bbox_dist(out, operation):
-    take = lambda a: jnp.take_along_axis(
-        a, operation[..., None, None], axis=-2).squeeze(-2)
+    def take(a):                      # [..., n_ops, 4] select per op
+        n = a.shape[-2]
+        classes = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+        oh = (operation[..., None] == classes).astype(a.dtype)
+        return jnp.einsum("...o,...od->...d", oh, a)
     mean = jax.nn.sigmoid(take(out["bbox_mean_all"]))
     std = jnp.exp(jnp.clip(take(out["bbox_std_all"]),
                            MIN_LOG_STD, MAX_LOG_STD))
@@ -91,8 +94,7 @@ def gpt_agent(model: GPTPolicy, grid_size: int = 30) -> Agent:
             op = jnp.argmax(logits, -1)
         else:
             op = jax.random.categorical(k_op, logits, axis=-1)
-        lp_op = jnp.take_along_axis(jax.nn.log_softmax(logits, -1),
-                                    op[..., None], -1).squeeze(-1)
+        lp_op = onehot_take(jax.nn.log_softmax(logits, -1), op)
         dist = _gpt_bbox_dist(out, op)
         u = dist.mean() if deterministic else dist.sample(k_bb)
         u = jnp.clip(u, 0.0, 1.0)
@@ -106,8 +108,7 @@ def gpt_agent(model: GPTPolicy, grid_size: int = 30) -> Agent:
         out = _gpt_forward(model, params, obs)
         op = actions[..., 4]
         logits = out["op_logits"]
-        lp_op = jnp.take_along_axis(jax.nn.log_softmax(logits, -1),
-                                    op[..., None], -1).squeeze(-1)
+        lp_op = onehot_take(jax.nn.log_softmax(logits, -1), op)
         dist = _gpt_bbox_dist(out, op)
         u = actions[..., :4].astype(jnp.float32) / grid_size
         lp = lp_op + dist.log_prob(u).sum(-1)
