@@ -216,7 +216,7 @@ class BatchedEnv:
         selection must be flat too.  The rare cond branches (flood fixpoint,
         auto-reset) convert layouts internally; the steady-state step has no
         relayout copies at all."""
-        assert self.use_pallas and not self.dense_reward
+        assert self.use_pallas
         from ..ops.pallas_step import pallas_step_deferred_flat
         env2, reward, term, pending = pallas_step_deferred_flat(
             bs.env, action, self.table)
@@ -232,6 +232,10 @@ class BatchedEnv:
 
         env2 = jax.lax.cond(
             jnp.any(pending), flood_fixup, lambda a: a[0], (env2, action))
+
+        if self.dense_reward:
+            from ..ops.table import dense_reward as _dense
+            reward = jax.vmap(_dense)(env2, reward)
 
         if self.episode_limit > 0:
             trunc = env2.steps >= self.episode_limit

@@ -280,19 +280,24 @@ def step_deferred(state: EnvState, action: Action, table: OpTable):
 def dense_reward(state_after: EnvState, sparse: jax.Array) -> jax.Array:
     """CustomO2ARCEnv shaped reward (agents/env.py:44-58):
     ``100*sparse - 1 + correct_cells/total`` with the size-mismatch
-    penalty denominator."""
-    H, W = state_after.grid.shape
+    penalty denominator.  Accepts square [30,30] or flat [900] grids."""
+    grid, answer = state_after.grid, state_after.answer
     gd = state_after.grid_dim.astype(I32)
     ad = state_after.answer_dim.astype(I32)
     h, w = gd[0], gd[1]
     Ha, Wa = ad[0], ad[1]
     minh = jnp.minimum(h, Ha)
     minw = jnp.minimum(w, Wa)
-    rows = jax.lax.broadcasted_iota(I32, (H, W), 0)
-    cols = jax.lax.broadcasted_iota(I32, (H, W), 1)
+    if grid.shape[-2:] == (30, 30):
+        H, W = grid.shape
+        rows = jax.lax.broadcasted_iota(I32, (H, W), 0)
+        cols = jax.lax.broadcasted_iota(I32, (H, W), 1)
+    else:
+        lane = jax.lax.broadcasted_iota(I32, grid.shape, 0)
+        rows, cols = lane // 30, lane % 30
     region = (rows < minh) & (cols < minw)
     correct = jnp.sum(
-        jnp.where(region, state_after.grid == state_after.answer, False)
+        jnp.where(region, grid == answer, False)
     ).astype(jnp.float32)
     total = (minh * minw).astype(jnp.float32)
     both = (h <= Ha) == (w <= Wa)

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.state import Action
-from ..core.geometry import bbox_selection
+from ..core.geometry import bbox_selection, bbox_selection_flat
 from ..envs.core import BatchedEnv, BatchedState, flatten_grids, \
     unflatten_grids
 
@@ -34,10 +34,12 @@ class Trajectory(NamedTuple):
     terminated: jax.Array # bool [T, B]      true termination (no bootstrap)
 
 
-def decode_bbox_actions(actions: jax.Array, H: int = 30, W: int = 30) -> Action:
+def decode_bbox_actions(actions: jax.Array, H: int = 30, W: int = 30,
+                        flat: bool = False) -> Action:
     """[B,5] ints -> selection-mask Action (BBoxWrapper semantics)."""
+    builder = bbox_selection_flat if flat else bbox_selection
     return Action(
-        selection=jax.vmap(bbox_selection, in_axes=(0, 0, 0, 0, None, None))(
+        selection=jax.vmap(builder, in_axes=(0, 0, 0, 0, None, None))(
             actions[:, 0], actions[:, 1], actions[:, 2], actions[:, 3], H, W),
         operation=actions[:, 4],
     )
@@ -49,19 +51,32 @@ def rollout(env: BatchedEnv, bs: BatchedState, params, key: jax.Array,
     """Collect ``n_steps`` of experience with an :class:`Agent`;
     returns (carry, traj, last_value)."""
 
+    # With the pallas megakernel the whole loop stays in the flat layout
+    # (step_flat + flat action masks + obs concatenated from flat grids):
+    # no relayout copies anywhere in the steady state.  The XLA path keeps
+    # the square step but still rides a flat carry (4x less HBM).
+    pure_flat = env.use_pallas
+
     def body(carry, _):
         bs_flat, key = carry
-        bs = unflatten_grids(bs_flat)
         key, ka = jax.random.split(key)
-        obs = agent.obs_fn(bs.env)
-        acts, lp, value = agent.sample_fn(params, obs, ka, deterministic)
-        bs2, obs_env, rew, term, trunc = env.step(bs, decode_bbox_actions(acts))
+        if pure_flat:
+            obs = agent.obs_fn(bs_flat.env)
+            acts, lp, value = agent.sample_fn(params, obs, ka, deterministic)
+            bs2, obs_env, rew, term, trunc = env.step_flat(
+                bs_flat, decode_bbox_actions(acts, flat=True))
+            next_carry = bs2
+        else:
+            bs = unflatten_grids(bs_flat)
+            obs = agent.obs_fn(bs.env)
+            acts, lp, value = agent.sample_fn(params, obs, ka, deterministic)
+            bs2, obs_env, rew, term, trunc = env.step(
+                bs, decode_bbox_actions(acts))
+            next_carry = flatten_grids(bs2)
         out = Trajectory(obs=obs, actions=acts, log_probs=lp, values=value,
                          rewards=rew, dones=term | trunc, terminated=term)
-        return (flatten_grids(bs2), key), out
+        return (next_carry, key), out
 
-    # grids ride the scan carry flattened: 900 lanes pad to 1024 instead of
-    # (32,128) tiles -> ~4x less HBM traffic per step on the state
     (bs_flat, key), traj = jax.lax.scan(
         body, (flatten_grids(bs), key), None, length=n_steps)
     bs = unflatten_grids(bs_flat)

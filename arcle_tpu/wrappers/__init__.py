@@ -59,7 +59,9 @@ def flatten_obs(state: EnvState) -> jax.Array:
     for k in sorted(FILTER_O2ARC_KEYS):
         v = getattr(state, k)
         if k in ("grid", "clip", "object"):          # [..., H, W] -> [..., H*W]
-            flat.append(v.reshape(*v.shape[:-2], -1))
+            if v.shape[-2:] == (30, 30):             # square layout
+                v = v.reshape(*v.shape[:-2], -1)
+            flat.append(v)                           # flat layout: as-is
         elif k in ("grid_dim", "clip_dim", "object_dim", "object_pos"):
             flat.append(v)                            # [..., 2]
         else:                                         # scalars -> [..., 1]
@@ -89,7 +91,9 @@ def full_flatten_obs(state: EnvState) -> jax.Array:
     for k, n in FULL_OBS_FIELDS:
         v = getattr(state, k)
         if n == 900:
-            flat.append(v.reshape(*v.shape[:-2], -1))
+            if v.shape[-2:] == (30, 30):
+                v = v.reshape(*v.shape[:-2], -1)
+            flat.append(v)
         elif n == 2:
             flat.append(v)
         else:
