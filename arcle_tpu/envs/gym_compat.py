@@ -45,6 +45,10 @@ class JaxARCEnvBase(gym.Env):
                  render_mode: Optional[str] = None,
                  render_size: Optional[Tuple[int, int]] = None) -> None:
         assert render_mode is None or render_mode in self.metadata["render_modes"]
+        # The engine's whole-grid kernels assume square frames (the
+        # reference's own envs/datasets only ever use square sizes).
+        assert max_grid_size[0] == max_grid_size[1], (
+            "arcle_tpu supports square max_grid_size only")
         self.loader = data_loader if data_loader is not None else ARCLoader()
         self.H, self.W = max_grid_size
         self.max_grid_size = max_grid_size

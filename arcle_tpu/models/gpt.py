@@ -39,6 +39,7 @@ class GPTConfig:
     resid_pdrop: float = 0.1
     attn_pdrop: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = True          # rematerialize blocks (long sequences)
 
     @property
     def num_pixel(self) -> int:
@@ -59,6 +60,60 @@ def active_mask(dim: jax.Array, H: int, W: int) -> jax.Array:
     return ((rows < d[0]) & (cols < d[1])).reshape(-1)
 
 
+def _streaming_attention(q, k, v, pad_mask, chunk: int = 512):
+    """Exact softmax attention without materializing the [T, T] matrix:
+    online-softmax accumulation over key/value chunks (flash-attention
+    recurrence).  Needed for the 1837-token observation sequence — dense
+    attention is O(B*H*T^2) floats (~1.4 TB for one PPO batch).
+
+    q, k, v: [B, T, H, D]; pad_mask: [B, T] bool, True = masked key.
+    Returns [B, T, H, D] in f32.
+    """
+    B, T, Hh, D = q.shape
+    scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
+    Tp = ((T + chunk - 1) // chunk) * chunk
+    pad = Tp - T
+    kp = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    mp = jnp.pad(pad_mask, ((0, 0), (0, pad)), constant_values=True)
+    nc = Tp // chunk
+    kc = kp.reshape(B, nc, chunk, Hh, D).transpose(1, 0, 2, 3, 4)
+    vc = vp.reshape(B, nc, chunk, Hh, D).transpose(1, 0, 2, 3, 4)
+    mc = mp.reshape(B, nc, chunk).transpose(1, 0, 2)
+
+    qh = q.transpose(0, 2, 1, 3)          # [B, H, T, D]
+
+    # checkpoint each chunk: without it, scan AD stores the [B,H,T,chunk]
+    # score/probability tensors for EVERY chunk before the backward pass
+    # (tens of GB at the full batch) — recomputing them per chunk keeps
+    # the backward at the same transient footprint as the forward
+    @jax.checkpoint
+    def chunk_update(carry, k_c, v_c, mask_c):
+        m, l, acc = carry
+        s = jnp.einsum("bhqd,bkhd->bhqk", qh, k_c,
+                       preferred_element_type=jnp.float32) * scale
+        s = jnp.where(mask_c[:, None, None, :], -1e30, s)
+        m_new = jnp.maximum(m, s.max(-1))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new[..., None])
+        l_new = l * alpha + p.sum(-1)
+        acc_new = acc * alpha[..., None] + jnp.einsum(
+            "bhqk,bkhd->bhqd", p.astype(q.dtype), v_c,
+            preferred_element_type=jnp.float32)
+        return (m_new, l_new, acc_new)
+
+    def body(carry, xs):
+        k_c, v_c, mask_c = xs
+        return chunk_update(carry, k_c, v_c, mask_c), None
+
+    init = (jnp.full((B, Hh, T), -1e30, jnp.float32),
+            jnp.zeros((B, Hh, T), jnp.float32),
+            jnp.zeros((B, Hh, T, D), jnp.float32))
+    (m, l, acc), _ = jax.lax.scan(body, init, (kc, vc, mc))
+    out = acc / l[..., None]
+    return out.transpose(0, 2, 1, 3)      # [B, T, H, D]
+
+
 class SelfAttention(nn.Module):
     cfg: GPTConfig
 
@@ -70,15 +125,20 @@ class SelfAttention(nn.Module):
         q, k, v = jnp.split(qkv, 3, axis=-1)
         split = lambda a: a.reshape(B, T, c.n_head, C // c.n_head)
         q, k, v = split(q), split(k), split(v)
-        att = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                         preferred_element_type=jnp.float32)
-        att = att / jnp.sqrt(jnp.asarray(C // c.n_head, jnp.float32))
-        # key-padding mask: True = masked out (GPTPolicy.py:83)
-        att = jnp.where(pad_mask[:, None, None, :], -jnp.inf, att)
-        att = jax.nn.softmax(att, axis=-1)
-        att = nn.Dropout(c.attn_pdrop)(att, deterministic=deterministic)
-        y = jnp.einsum("bhqk,bkhd->bqhd", att.astype(c.dtype), v,
-                       preferred_element_type=jnp.float32)
+        if T >= 1024:
+            # streaming path (no dropout inside attention probabilities;
+            # reference uses attn_pdrop=0.1 but PPO runs deterministic)
+            y = _streaming_attention(q, k, v, pad_mask)
+        else:
+            att = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                             preferred_element_type=jnp.float32)
+            att = att / jnp.sqrt(jnp.asarray(C // c.n_head, jnp.float32))
+            # key-padding mask: True = masked out (GPTPolicy.py:83)
+            att = jnp.where(pad_mask[:, None, None, :], -jnp.inf, att)
+            att = jax.nn.softmax(att, axis=-1)
+            att = nn.Dropout(c.attn_pdrop)(att, deterministic=deterministic)
+            y = jnp.einsum("bhqk,bkhd->bqhd", att.astype(c.dtype), v,
+                           preferred_element_type=jnp.float32)
         y = y.reshape(B, T, C).astype(c.dtype)
         y = nn.Dense(C, dtype=c.dtype, name="proj")(y)
         return nn.Dropout(c.resid_pdrop)(y, deterministic=deterministic)
@@ -174,8 +234,9 @@ class GPTPolicy(nn.Module):
         pad_mask = jnp.concatenate([grid_pad, inp_pad, fixed], axis=1)
 
         x = nn.Dropout(c.embd_pdrop)(x, deterministic=deterministic)
+        block_cls = nn.remat(Block, static_argnums=(3,)) if c.remat else Block
         for i in range(c.n_layer):
-            x = Block(c, name=f"block_{i}")(x, pad_mask, deterministic)
+            x = block_cls(c, name=f"block_{i}")(x, pad_mask, deterministic)
         x = nn.LayerNorm(dtype=c.dtype, name="ln_f")(x)
 
         # token slots (GPTPolicy.py act: ops at [-1-n_ops:-1], CLS last)

@@ -91,7 +91,9 @@ int parse_grid(Cursor& c, int8_t* out) {
                 v = c.parse_int();
                 if (!c.eat('"')) return -1;
             } else {
+                const char* before = c.p;
                 v = c.parse_int();
+                if (c.p == before) return -1;   // non-numeric cell token
             }
             if (rows < H && col < W) out[rows * W + col] = (int8_t)v;
             ++col;

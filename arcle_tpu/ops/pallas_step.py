@@ -397,7 +397,10 @@ def _step_kernel(table: OpTable, *refs):
     pvals, ppwin = _place(gv["clip"], rmin, cmin, sv["clip_h"],
                           sv["clip_w"], jnp.full_like(rmin, H),
                           jnp.full_like(rmin, W), row, col)
-    grid_paste = jnp.where(ppwin & paste_valid, pvals, grid)
+    # the table's gen_paste(paste_blank) param; the (B,1)|(B,900) i1
+    # broadcast must go through i8 (Mosaic i1 lane-replication limit)
+    paste_ok = ((par != 0).astype(I8) | (pvals != 0).astype(I8)) != 0
+    grid_paste = jnp.where(ppwin & paste_valid & paste_ok, pvals, grid)
 
     # ---- CROP ----
     crop_patch = jnp.where(win_s & selp_sh & (grid_sh != 0), grid_sh, 0)

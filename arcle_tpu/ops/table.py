@@ -200,11 +200,8 @@ def transition_deferred(state: EnvState, action: Action, table: OpTable):
     # Submit op leaves the grid unchanged unless reset_on_submit re-inited,
     # in which case the fresh grid (= input) is compared instead.
     ros_applied = (state.trials_remain != 0) & (state.reset_on_submit != 0)
-    H, W = state.grid.shape
-    from ..core.geometry import inside_dims as _ins
-    fresh_match = (jnp.all(state.input_dim == state.answer_dim)
-                   & jnp.all(jnp.where(_ins(state.answer_dim, H, W),
-                                       state.input == state.answer, True)))
+    fresh_match = answers_match(state.replace(
+        grid=state.input, grid_dim=state.input_dim))
     reward_match = jnp.where(ros_applied, fresh_match, shared.match)
     return new, pending, reward_match
 

@@ -31,7 +31,9 @@ class Trajectory(NamedTuple):
     values: jax.Array     # f32 [T, B]
     rewards: jax.Array    # f32 [T, B]
     dones: jax.Array      # bool [T, B]      terminated | truncated
-    terminated: jax.Array # bool [T, B]      true termination (no bootstrap)
+    terminated: jax.Array # bool [T, B]      true terminations (solves /
+                          # trial exhaustion) — metrics only; GAE cuts at
+                          # any episode boundary
 
 
 def decode_bbox_actions(actions: jax.Array, H: int = 30, W: int = 30,
@@ -99,7 +101,7 @@ def gae(traj: Trajectory, last_value: jax.Array, gamma: float,
     """
     def body(carry, xs):
         adv_next, v_next = carry
-        value, reward, done, term = xs
+        value, reward, done = xs
         noncut = 1.0 - done.astype(jnp.float32)
         delta = reward + gamma * v_next * noncut - value
         adv = delta + gamma * lam * noncut * adv_next
@@ -107,7 +109,7 @@ def gae(traj: Trajectory, last_value: jax.Array, gamma: float,
 
     (_, _), advs = jax.lax.scan(
         body, (jnp.zeros_like(last_value), last_value),
-        (traj.values, traj.rewards, traj.dones, traj.terminated),
+        (traj.values, traj.rewards, traj.dones),
         reverse=True)
     returns = advs + traj.values
     return advs, returns

@@ -80,7 +80,10 @@ def run_ppo(cfg: RunConfig, logger: MetricLogger):
             params, opt_state, batch, ktrain, agent, tx, cfg.ppo)
         stats = dict(stats)
         stats["episode_reward_mean"] = traj.rewards.sum(0).mean()
-        stats["success_rate"] = traj.rewards.max(0).mean()
+        # success = a true termination before truncation (sparse solve /
+        # trial exhaustion on a solve; valid for dense rewards too, unlike
+        # max-reward heuristics)
+        stats["success_rate"] = traj.terminated.any(0).mean()
         # scalar barrier for honest timing on axon
         stats["_barrier"] = stats["total_loss"] + 0.0
         return bs, params, opt_state, key, stats

@@ -44,7 +44,10 @@ def main(argv=None):
                       n_envs=8 if args.smoke else 64,
                       dataset=args.dataset,
                       n_synthetic_tasks=8 if args.smoke else 32),
-        ppo=PPOConfig(n_epochs=1, n_minibatches=1),
+        # the 1837-token transformer needs minibatched updates (64 samples
+        # per minibatch over the 6400-sample batch)
+        ppo=PPOConfig(n_epochs=1,
+                      n_minibatches=1 if args.smoke else 100),
         # 2 workers x batch 100 in the reference (train_gpt.py:112-114)
         emaml=EMAMLConfig(
             n_tasks=2, envs_per_task=4,

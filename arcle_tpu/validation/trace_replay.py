@@ -191,7 +191,12 @@ def generate_golden_traces(n_traces: int = 50, seed: int = 0,
     def random_ui_action():
         r = int(rng.integers(0, 12))
         p = lambda: (int(rng.integers(0, 30)), int(rng.integers(0, 30)))
-        rect = lambda: tuple(sorted((p(), p())))
+
+        def rect():
+            (x1, y1), (x2, y2) = p(), p()
+            # normalize per axis (UI semantics; tuple-sort would leave
+            # inverted columns producing empty selections)
+            return ((min(x1, x2), min(y1, y2)), (max(x1, x2), max(y1, y2)))
         if r == 0:
             return ("Color", [p(), int(rng.integers(0, 10))])
         if r == 1:
