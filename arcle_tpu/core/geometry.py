@@ -147,3 +147,10 @@ def point_selection(x, y, H: int, W: int) -> jax.Array:
     rows, cols = row_col_iota(H, W)
     m = (rows == jnp.asarray(x, I32)) & (cols == jnp.asarray(y, I32))
     return m.astype(jnp.int8)
+
+
+def point_selection_flat(x, y, H: int, W: int) -> jax.Array:
+    """One-pixel selection as a flat [H*W] int8 mask (pallas flat path)."""
+    lane = jax.lax.broadcasted_iota(I32, (H * W, 1), 0).squeeze(-1)
+    m = lane == jnp.asarray(x, I32) * W + jnp.asarray(y, I32)
+    return m.astype(jnp.int8)

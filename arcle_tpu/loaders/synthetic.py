@@ -79,6 +79,32 @@ class SyntheticLoader(Loader):
         return make_tasks(self._n_tasks, self._seed, **self._task_kw)
 
 
+def write_corpus(root: str, n_tasks: int = 400, n_train: int = 6,
+                 n_test: int = 2, seed: int = 11,
+                 max_size: int = 30) -> int:
+    """Materialize a reference-scale ARC-layout corpus (the reference's
+    operating envelope: 400 training tasks / ~3000 pairs,
+    loader.py:72-87) under ``<root>/training``.  Returns the pair count."""
+    rng = np.random.default_rng(seed)
+    sub = os.path.join(root, "training")
+    os.makedirs(sub, exist_ok=True)
+    pairs = 0
+    for k in range(n_tasks):
+        task = make_task(rng, min_size=3, max_size=max_size,
+                         n_train=n_train, n_test=n_test)
+        ti, to, ei, eo, _ = task
+        payload = {
+            "train": [{"input": i.tolist(), "output": o.tolist()}
+                      for i, o in zip(ti, to)],
+            "test": [{"input": i.tolist(), "output": o.tolist()}
+                     for i, o in zip(ei, eo)],
+        }
+        with open(os.path.join(sub, f"corpus{k:04d}.json"), "w") as fp:
+            json.dump(payload, fp)
+        pairs += len(ti) + len(ei)
+    return pairs
+
+
 def write_sample_dataset(root: str, n_train_tasks: int = 16,
                          n_eval_tasks: int = 8, n_mini: int = 8,
                          seed: int = 7) -> None:

@@ -159,6 +159,28 @@ class Block(nn.Module):
         return x + h
 
 
+class Periodic(nn.Module):
+    """Random-Fourier-feature bbox encoder (GPTPolicy.py:115-126):
+    x -> [cos(2*pi*c*x), sin(2*pi*c*x)] -> Dense -> GELU, with learnable
+    per-coordinate frequencies drawn N(0, sigma)."""
+
+    n_freq: int
+    out: int
+    sigma: float = 0.15
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):              # [..., D] floats in [0, 1]
+        coef = self.param("coefficients",
+                          nn.initializers.normal(self.sigma),
+                          (x.shape[-1], self.n_freq))
+        ang = 2 * jnp.pi * coef * x[..., None].astype(jnp.float32)
+        feat = jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], -1)
+        feat = feat.reshape(*x.shape[:-1], -1).astype(self.dtype)
+        return nn.gelu(nn.Dense(self.out, dtype=self.dtype,
+                                name="encoder")(feat))
+
+
 class Head(nn.Module):
     """3-layer GELU head (GPTPolicy.py head_factory)."""
 
@@ -183,12 +205,24 @@ class GPTPolicy(nn.Module):
 
     @nn.compact
     def __call__(self, grid, grid_dim, inp, inp_dim, trials_remain, active,
-                 deterministic: bool = True):
+                 deterministic: bool = True, operation=None, bbox=None):
         """All args batched: grid/inp i8 [B,H,W]; dims i8 [B,2];
-        trials_remain/active i8 [B]."""
+        trials_remain/active i8 [B].
+
+        ``operation`` (i32 [B]) and ``bbox`` (f32 [B,4] in [0,1]) switch on
+        the *action-conditioned* pass: the chosen operation's embedding and
+        a Periodic encoding of the bbox are appended as two extra tokens
+        after CLS (the reference's two-pass ``act``/``evaluate`` intent,
+        GPTPolicy.py:401-456 with ``additional_tokens=[enc_op, enc_bb]``;
+        note the shipped reference assembles but never appends them —
+        GPTPolicy.py:380-381 ignores ``additional_tokens`` — so this
+        implements the design the paper's aux losses require).  In this
+        mode ``aux_reward`` reads from the final action token and
+        ``aux_transition`` from the (action-attending) grid tokens."""
         c = self.cfg
         B = grid.shape[0]
         P = c.num_pixel
+        conditioned = operation is not None
 
         color_emb = nn.Embed(c.num_colors, c.n_embd, dtype=c.dtype,
                              name="color_encoder")
@@ -224,13 +258,28 @@ class GPTPolicy(nn.Module):
         op_tokens = op_tokens.at[:, :c.num_colors].add(color_part)
 
         cls = jnp.tile(cls_tkn.astype(c.dtype), (B, 1, 1))
-        x = jnp.concatenate([grid_t, inp_t, info, op_tokens, cls], axis=1)
+
+        # action-embedding tokens; the encoder params are materialized in
+        # every call mode so a single init covers both passes
+        bbox_enc = Periodic(n_freq=max(c.n_embd // 8, 1), out=c.n_embd,
+                            dtype=c.dtype, name="bbox_encoder")
+        op_cond = operation if conditioned else jnp.zeros((B,), jnp.int32)
+        bb_cond = bbox if conditioned else jnp.zeros((B, 4), jnp.float32)
+        enc_op = op_emb(op_cond.astype(jnp.int32))[:, None]
+        enc_bb = bbox_enc(bb_cond)[:, None]
+
+        tokens = [grid_t, inp_t, info, op_tokens, cls]
+        n_extra = 0
+        if conditioned:
+            tokens += [enc_op, enc_bb]
+            n_extra = 2
+        x = jnp.concatenate(tokens, axis=1)
 
         grid_pad = ~jax.vmap(active_mask, in_axes=(0, None, None))(
             grid_dim, c.grid_x, c.grid_y)
         inp_pad = ~jax.vmap(active_mask, in_axes=(0, None, None))(
             inp_dim, c.grid_x, c.grid_y)
-        fixed = jnp.zeros((B, 2 + c.num_actions), bool)
+        fixed = jnp.zeros((B, 2 + c.num_actions + n_extra), bool)
         pad_mask = jnp.concatenate([grid_pad, inp_pad, fixed], axis=1)
 
         x = nn.Dropout(c.embd_pdrop)(x, deterministic=deterministic)
@@ -239,15 +288,21 @@ class GPTPolicy(nn.Module):
             x = block_cls(c, name=f"block_{i}")(x, pad_mask, deterministic)
         x = nn.LayerNorm(dtype=c.dtype, name="ln_f")(x)
 
-        # token slots (GPTPolicy.py act: ops at [-1-n_ops:-1], CLS last)
-        op_x = x[:, -1 - c.num_actions:-1]
-        cls_x = x[:, -1]
+        # token slots by absolute position (stable under appended action
+        # tokens): grid [0,P), input [P,2P), info 2P, ops, CLS, extras
+        ops_at = 2 * P + 1
+        cls_at = ops_at + c.num_actions
+        op_x = x[:, ops_at:cls_at]
+        cls_x = x[:, cls_at]
         grid_x_tokens = x[:, :P]
+        # conditioned pass: r_t reads from the final action token
+        # (GPTPolicy.py:423-425 intent); unconditioned: from CLS
+        r_src = x[:, -1] if conditioned else cls_x
 
         op_logits = Head(1, c, name="head_operation")(op_x).squeeze(-1)
         value = Head(1, c, name="head_critic")(cls_x).squeeze(-1)
         rtm1 = Head(1, c, name="head_aux_rtm1")(cls_x).squeeze(-1)
-        r_pred = Head(1, c, name="head_aux_reward")(cls_x).squeeze(-1)
+        r_pred = Head(1, c, name="head_aux_reward")(r_src).squeeze(-1)
         g_pred = Head(c.num_colors, c, name="head_aux_transition")(grid_x_tokens)
         bbox_mean_all = Head(4, c, name="head_bbox_mean")(op_x)
         bbox_std_all = Head(4, c, name="head_bbox_std")(op_x)
@@ -262,19 +317,3 @@ class GPTPolicy(nn.Module):
             "bbox_mean_all": bbox_mean_all,
             "bbox_std_all": bbox_std_all,
         }
-
-    def heads_for_bbox(self, variables):
-        """Callables (mean, std) over a chosen op token, for bbox_dist."""
-        def head_mean(tok):
-            return self.apply(variables, tok, method=self._bbox_mean)
-
-        def head_std(tok):
-            return self.apply(variables, tok, method=self._bbox_std)
-
-        return head_mean, head_std
-
-    def _bbox_mean(self, tok):
-        return Head(4, self.cfg, name="head_bbox_mean")(tok)
-
-    def _bbox_std(self, tok):
-        return Head(4, self.cfg, name="head_bbox_std")(tok)

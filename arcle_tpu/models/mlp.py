@@ -20,11 +20,13 @@ import jax.numpy as jnp
 def onehot_take(a: jax.Array, idx: jax.Array) -> jax.Array:
     """``take_along_axis(a, idx[..., None], -1)[..., 0]`` as one-hot
     arithmetic — batched 1-element gathers are pathologically slow on the
-    axon TPU runtime, iota-compare + reduce is a cheap fused pass."""
+    axon TPU runtime, iota-compare + select + reduce is a cheap fused
+    pass.  Select (not multiply) so non-finite entries at unselected
+    positions (e.g. -inf-padded logits) don't poison the sum with NaN."""
     n = a.shape[-1]
     classes = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
-    oh = (idx[..., None] == classes).astype(a.dtype)
-    return jnp.sum(a * oh, axis=-1)
+    oh = idx[..., None] == classes
+    return jnp.sum(jnp.where(oh, a, 0), axis=-1)
 
 
 class FCPolicy(nn.Module):
@@ -57,31 +59,46 @@ class FCPolicy(nn.Module):
         return tuple(jnp.split(logits, bounds, axis=-1)), value
 
 
+def stack_padded_logits(logits_tuple):
+    """Stack heads of unequal width into one [..., H, N] tensor padded
+    with -inf (masked classes).  One tensor means one kernel for the
+    whole multi-head sample/log-prob/entropy — per-head ops cost ~5x the
+    kernel launches on this runtime (its fixed per-kernel overhead is the
+    rollout bottleneck, not FLOPs)."""
+    n = max(l.shape[-1] for l in logits_tuple)
+    padded = []
+    for l in logits_tuple:
+        if l.shape[-1] < n:
+            pad = [(0, 0)] * (l.ndim - 1) + [(0, n - l.shape[-1])]
+            l = jnp.pad(l, pad, constant_values=-jnp.inf)
+        padded.append(l)
+    return jnp.stack(padded, axis=-2)
+
+
 def multi_categorical_sample(key, logits_tuple):
-    keys = jax.random.split(key, len(logits_tuple))
-    samples, lps = [], []
-    for k, logits in zip(keys, logits_tuple):
-        a = jax.random.categorical(k, logits, axis=-1)
-        lp = onehot_take(jax.nn.log_softmax(logits, -1), a)
-        samples.append(a.astype(jnp.int32))
-        lps.append(lp)
-    return jnp.stack(samples, axis=-1), sum(lps)
+    L = stack_padded_logits(logits_tuple)            # [..., H, N]
+    u = jax.random.uniform(key, L.shape, minval=1e-12, maxval=1.0)
+    g = -jnp.log(-jnp.log(u))                        # one RNG pass, gumbel
+    a = jnp.argmax(L + g, axis=-1).astype(jnp.int32)
+    lp = onehot_take(jax.nn.log_softmax(L, -1), a)
+    return a, lp.sum(-1)
 
 
 def multi_categorical_log_prob(logits_tuple, actions):
-    lps = []
-    for i, logits in enumerate(logits_tuple):
-        lps.append(onehot_take(jax.nn.log_softmax(logits, -1),
-                               actions[..., i]))
-    return sum(lps)
+    L = stack_padded_logits(logits_tuple)
+    return onehot_take(jax.nn.log_softmax(L, -1),
+                       actions[..., :L.shape[-2]]).sum(-1)
 
 
 def multi_categorical_entropy(logits_tuple):
-    ents = []
-    for logits in logits_tuple:
-        p = jax.nn.softmax(logits, -1)
-        ents.append(-jnp.sum(p * jax.nn.log_softmax(logits, -1), -1))
-    return sum(ents)
+    L = stack_padded_logits(logits_tuple)
+    ls = jax.nn.log_softmax(L, -1)
+    p = jnp.exp(ls)
+    # sanitize -inf BEFORE the multiply: p * (-inf) has a NaN derivative
+    # (d(p*ls)/dls = p + p*ls) that poisons the backward pass even under
+    # a where() — zero the masked entries on both factors instead
+    ls_safe = jnp.where(jnp.isfinite(ls), ls, 0.0)
+    return -jnp.sum(p * ls_safe, axis=(-2, -1))
 
 
 class WLinear(nn.Module):

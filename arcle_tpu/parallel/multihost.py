@@ -13,6 +13,7 @@ virtual devices), per the SURVEY §4 test strategy.
 
 from __future__ import annotations
 
+import threading
 from typing import Optional
 
 import jax
@@ -21,14 +22,80 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+class MultihostInitTimeout(RuntimeError):
+    """A process failed to join the distributed runtime within the
+    timeout — the TPU-era analog of RLlib's unhealthy-worker gating
+    (reference emaml.py:352-354 healthy_worker_ids)."""
+
+
 def init_multihost(coordinator_address: Optional[str] = None,
                    num_processes: Optional[int] = None,
-                   process_id: Optional[int] = None) -> None:
-    """``jax.distributed.initialize`` wrapper (no-op args on TPU pods,
-    where the runtime autodetects)."""
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+                   process_id: Optional[int] = None,
+                   timeout_s: float = 300.0) -> None:
+    """``jax.distributed.initialize`` with failure detection.
+
+    ``jax.distributed.initialize`` blocks forever while any expected
+    process is missing; here it runs under a watchdog and raises
+    :class:`MultihostInitTimeout` with a diagnosis + restart procedure
+    after ``timeout_s``.  (On TPU pods the no-arg form autodetects
+    coordinator/count/id.)
+
+    Restart procedure on failure: all processes of the job must be
+    restarted together — JAX's single-controller model has no elastic
+    re-join (unlike Ray's per-worker restart).  Re-launch the job on all
+    hosts; env state re-materializes from the seed/options and training
+    state from the latest orbax checkpoint (``--resume``).
+    """
+    err: list = []
+
+    def run():
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes, process_id=process_id)
+        except Exception as e:          # surfaced after join
+            err.append(e)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        raise MultihostInitTimeout(
+            f"distributed init did not complete within {timeout_s:.0f}s "
+            f"(process_id={process_id}, num_processes={num_processes}, "
+            f"coordinator={coordinator_address}). One or more processes "
+            f"are missing or unreachable. Restart the WHOLE job on all "
+            f"hosts (JAX is single-controller, no elastic re-join) and "
+            f"resume from the latest checkpoint with --resume.")
+    if err:
+        raise err[0]
+
+
+def assert_all_processes_alive(timeout_s: float = 60.0) -> None:
+    """Runtime liveness barrier: a tiny cross-process collective under a
+    watchdog.  If any host died mid-run the collective never completes and
+    this raises :class:`MultihostInitTimeout` instead of hanging the
+    training loop (the healthy-workers check of the reference, run
+    explicitly between meta-iterations)."""
+    if jax.process_count() == 1:
+        return
+    done: list = []
+
+    def run():
+        mesh = Mesh(np.asarray(jax.devices()), ("d",))
+        x = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P("d")),
+            np.ones((len(jax.local_devices()),), np.float32))
+        done.append(float(jnp.sum(x)))
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive() or not done:
+        raise MultihostInitTimeout(
+            f"liveness barrier did not complete within {timeout_s:.0f}s — "
+            f"a process is unresponsive. Restart the job on all hosts and "
+            f"resume from the latest checkpoint.")
 
 
 def _make_global(x, mesh: Mesh, spec: P):

@@ -26,12 +26,12 @@ import jax.numpy as jnp
 
 from ..models.mlp import (
     FCPolicy, multi_categorical_sample, multi_categorical_log_prob,
-    multi_categorical_entropy, onehot_take,
+    multi_categorical_entropy, stack_padded_logits,
 )
+from ..models import bbox_dist
 from ..models.gpt import GPTPolicy
-from ..models.truncated_normal import TruncatedNormal
-from ..models.bbox_dist import MIN_LOG_STD, MAX_LOG_STD
-from ..wrappers import flatten_obs, full_flatten_obs, unflatten_full
+from ..wrappers import flatten_obs, full_flatten_obs, unflatten_full, \
+    FULL_OBS_DIM
 
 
 @dataclasses.dataclass(frozen=True)
@@ -41,14 +41,18 @@ class Agent:
     evaluate_fn: Callable
     init_fn: Callable          # (key, example_obs) -> params
     obs_dim: int
+    # optional action-conditioned auxiliary predictions
+    # (params, obs, actions) -> {"rtm1", "r", "g_logits"}; used by
+    # ppo_loss when aux_coeff > 0 (paper §4.1.1 losses)
+    aux_fn: Callable = None
 
 
 def mlp_agent(policy: FCPolicy) -> Agent:
     def sample_fn(params, obs, key, deterministic=False):
         logits_tuple, value = policy.apply(params, obs)
         if deterministic:
-            acts = jnp.stack([jnp.argmax(l, -1).astype(jnp.int32)
-                              for l in logits_tuple], axis=-1)
+            acts = jnp.argmax(stack_padded_logits(logits_tuple),
+                              -1).astype(jnp.int32)
             lp = multi_categorical_log_prob(logits_tuple, acts)
         else:
             acts, lp = multi_categorical_sample(key, logits_tuple)
@@ -73,49 +77,44 @@ def _gpt_forward(model: GPTPolicy, params, obs):
                        f["trials_remain"], f["active"])
 
 
-def _gpt_bbox_dist(out, operation):
-    def take(a):                      # [..., n_ops, 4] select per op
-        n = a.shape[-2]
-        classes = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
-        oh = (operation[..., None] == classes).astype(a.dtype)
-        return jnp.einsum("...o,...od->...d", oh, a)
-    mean = jax.nn.sigmoid(take(out["bbox_mean_all"]))
-    std = jnp.exp(jnp.clip(take(out["bbox_std_all"]),
-                           MIN_LOG_STD, MAX_LOG_STD))
-    return TruncatedNormal.create(mean, std, 0.0, 1.0)
-
-
 def gpt_agent(model: GPTPolicy, grid_size: int = 30) -> Agent:
+    """The op+bbox distribution math lives in :mod:`models.bbox_dist`
+    (single source of truth, AROPandBBox parity)."""
+
     def sample_fn(params, obs, key, deterministic=False):
         out = _gpt_forward(model, params, obs)
-        k_op, k_bb = jax.random.split(key)
-        logits = out["op_logits"]
-        if deterministic:
-            op = jnp.argmax(logits, -1)
-        else:
-            op = jax.random.categorical(k_op, logits, axis=-1)
-        lp_op = onehot_take(jax.nn.log_softmax(logits, -1), op)
-        dist = _gpt_bbox_dist(out, op)
-        u = dist.mean() if deterministic else dist.sample(k_bb)
-        u = jnp.clip(u, 0.0, 1.0)
-        bbox = jnp.clip(jnp.floor(u * grid_size), 0,
-                        grid_size - 1).astype(jnp.int32)
-        lp = lp_op + dist.log_prob(u).sum(-1)
-        acts = jnp.concatenate([bbox, op[..., None].astype(jnp.int32)], -1)
-        return acts, lp, out["value"]
+        s = bbox_dist.sample(key, out["op_logits"], out["bbox_mean_all"],
+                             out["bbox_std_all"], grid_size, deterministic)
+        acts = jnp.concatenate(
+            [s.bbox, s.operation[..., None].astype(jnp.int32)], -1)
+        return acts, s.log_prob, out["value"]
 
     def evaluate_fn(params, obs, actions):
         out = _gpt_forward(model, params, obs)
         op = actions[..., 4]
-        logits = out["op_logits"]
-        lp_op = onehot_take(jax.nn.log_softmax(logits, -1), op)
-        dist = _gpt_bbox_dist(out, op)
-        u = actions[..., :4].astype(jnp.float32) / grid_size
-        lp = lp_op + dist.log_prob(u).sum(-1)
-        p = jax.nn.softmax(logits, -1)
-        ent = (-jnp.sum(p * jax.nn.log_softmax(logits, -1), -1)
-               + dist.entropy().sum(-1))
+        lp = bbox_dist.log_prob(out["op_logits"], out["bbox_mean_all"],
+                                out["bbox_std_all"], op, actions[..., :4],
+                                grid_size)
+        ent = bbox_dist.entropy(out["op_logits"], out["bbox_mean_all"],
+                                out["bbox_std_all"], op)
         return lp, out["value"], ent
+
+    def aux_fn(params, obs, actions):
+        """Second, action-conditioned forward (GPTPolicy.py:401-456
+        intent): append the op embedding + Periodic bbox tokens and read
+        r_t / next-grid predictions.  rtm1 is read from this pass's CLS
+        (the reference reads it from a separate unconditioned pass —
+        GPTPolicy.py:432-434 — but r_{t-1} is pre-action information, so
+        conditioning is harmless and saves a third forward)."""
+        f = unflatten_full(obs)
+        out = model.apply(params, f["grid"].astype(jnp.int8), f["grid_dim"],
+                          f["input"].astype(jnp.int8), f["input_dim"],
+                          f["trials_remain"], f["active"],
+                          operation=actions[..., 4].astype(jnp.int32),
+                          bbox=actions[..., :4].astype(jnp.float32)
+                          / grid_size)
+        return {"rtm1": out["aux_rtm1"], "r": out["aux_reward"],
+                "g_logits": out["aux_transition"]}
 
     def init_fn(key, obs):
         f = unflatten_full(obs)
@@ -124,4 +123,5 @@ def gpt_agent(model: GPTPolicy, grid_size: int = 30) -> Agent:
                           f["trials_remain"], f["active"])
 
     return Agent(obs_fn=full_flatten_obs, sample_fn=sample_fn,
-                 evaluate_fn=evaluate_fn, init_fn=init_fn, obs_dim=5314)
+                 evaluate_fn=evaluate_fn, init_fn=init_fn,
+                 obs_dim=FULL_OBS_DIM, aux_fn=aux_fn)

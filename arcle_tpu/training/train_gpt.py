@@ -30,6 +30,11 @@ def main(argv=None):
     ap.add_argument("--log-file", default="train_gpt_log.jsonl")
     ap.add_argument("--ckpt-dir", default="./ckpts_gpt")
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--aux-coeff", type=float, default=0.0,
+                    help="weight of the action-conditioned auxiliary "
+                         "losses (r_{t-1}/r_t/next-grid, paper §4.1.1); "
+                         "0 = off (shipped-reference parity)")
     args = ap.parse_args(argv)
 
     gpt = GPTConfig() if not args.smoke else GPTConfig(
@@ -47,20 +52,28 @@ def main(argv=None):
         # the 1837-token transformer needs minibatched updates (64 samples
         # per minibatch over the 6400-sample batch)
         ppo=PPOConfig(n_epochs=1,
-                      n_minibatches=1 if args.smoke else 100),
-        # 2 workers x batch 100 in the reference (train_gpt.py:112-114)
+                      n_minibatches=1 if args.smoke else 100,
+                      vf_coeff=0.5,       # train_gpt.py:61 (GPT uses 0.5)
+                      aux_coeff=args.aux_coeff),
+        # full reference envelope (train_gpt.py:47-55): 2 workers x
+        # (1 env x 100-step rollouts) = batch 100 per task per inner step,
+        # 20 inner / 5 meta steps; first_order (FOMAML) keeps the
+        # 20-step replay through the 8L/16H/128E transformer on-chip
         emaml=EMAMLConfig(
-            n_tasks=2, envs_per_task=4,
-            rollout_steps=10 if args.smoke else 25,
-            inner_steps=1 if args.smoke else 2,
-            maml_opt_steps=1, first_order=True),
+            n_tasks=2,
+            envs_per_task=4 if args.smoke else 1,
+            rollout_steps=10 if args.smoke else 100,
+            inner_steps=1 if args.smoke else 20,
+            maml_opt_steps=1 if args.smoke else 5,
+            first_order=True,
+            ppo=PPOConfig(vf_coeff=0.5, aux_coeff=args.aux_coeff)),
         gpt=gpt)
     print(cfg.to_json(), file=sys.stderr)
     logger = MetricLogger(args.log_file)
     if cfg.algo == "ppo":
-        run_ppo(cfg, logger)
+        run_ppo(cfg, logger, resume=args.resume)
     else:
-        run_emaml(cfg, logger)
+        run_emaml(cfg, logger, resume=args.resume)
 
 
 if __name__ == "__main__":

@@ -254,3 +254,154 @@ def generate_golden_traces(n_traces: int = 50, seed: int = 0,
         traces.append(trace)
         infos.append((ti, 0))
     return tasks, traces, infos
+
+
+def _selected_rect(st) -> Optional[Tuple[Tuple[int, int], Tuple[int, int]]]:
+    """If the oracle's current ``selected`` mask is a solid non-empty
+    rectangle, return its ((h0,w0),(h1,w1)) corners, else None.  A UI
+    object op whose rectangle equals the live selection converts to an
+    empty selection at replay time (the continuation rule), so emitting
+    exactly this rectangle scripts *object continuation* in the trace."""
+    sel = np.asarray(st["selected"], bool)
+    if not sel.any():
+        return None
+    rows = np.nonzero(sel.any(1))[0]
+    cols = np.nonzero(sel.any(0))[0]
+    h0, h1 = int(rows[0]), int(rows[-1])
+    w0, w1 = int(cols[0]), int(cols[-1])
+    if sel[h0:h1 + 1, w0:w1 + 1].all() and \
+            sel.sum() == (h1 - h0 + 1) * (w1 - w0 + 1):
+        return (h0, w0), (h1, w1)
+    return None
+
+
+def generate_adversarial_traces(seed: int = 0, tasks: Optional[list] = None):
+    """Scripted adversarial golden traces exercising the trickiest
+    semantics at *trace* level (VERDICT r1 weak #4): long object-
+    continuation chains, off-grid excursions and returns, serpentine
+    flood fills, paste-over-edge, and 4x-rotation parity round trips.
+
+    Same return convention as :func:`generate_golden_traces`; every action
+    list is expressed in UI-log form so the traces replay through both
+    this engine's gym env and the executed reference env.
+    """
+    from ..oracle import OracleEnv
+    from ..loaders.synthetic import make_tasks
+
+    rng = np.random.default_rng(seed)
+    if tasks is None:
+        tasks = make_tasks(8, seed=seed + 17)
+
+    def record(script_fn):
+        ti = int(rng.integers(0, len(tasks)))
+        orc = OracleEnv("o2arc", max_trial=-1)
+        orc.reset(tasks[ti][2][0], tasks[ti][3][0])
+        trace = []
+
+        def do(name, data):
+            op, sel = convert_ui_action((None, name, data, None))
+            st = orc.state
+            if 20 <= op <= 27 and np.array_equal(
+                    st["selected"].astype(bool), sel):
+                sel = np.zeros((30, 30), dtype=np.bool_)
+            st, _r, _term = orc.step(sel.astype(np.int8), op)
+            h, w = (int(v) for v in st["grid_dim"])
+            trace.append((len(trace), name, data,
+                          st["grid"][:h, :w].copy()))
+
+        script_fn(orc, do)
+        return trace, (ti, 0)
+
+    def continuation_chain(orc, do):
+        """Lift an object, then a long Move/Rotate/Flip chain where every
+        rectangle equals the live selection -> pure continuation."""
+        do("ResizeGrid", [(30, 30)])
+        a = (int(rng.integers(2, 10)), int(rng.integers(2, 10)))
+        b = (a[0] + int(rng.integers(1, 5)), a[1] + int(rng.integers(1, 5)))
+        do("Fill", [a, b, int(rng.integers(1, 10))])
+        do("Move", [a, b, "R"])            # new object selection
+        for _k in range(22):
+            r = _selected_rect(orc.state)
+            if r is None:
+                break
+            kind = int(rng.integers(0, 4))
+            if kind == 0:
+                do("Move", [r[0], r[1], "UDRL"[int(rng.integers(0, 4))]])
+            elif kind == 1:
+                do("RotateCW", [r[0], r[1]])
+            elif kind == 2:
+                do("RotateCCW", [r[0], r[1]])
+            else:
+                do(["FlipX", "FlipY"][int(rng.integers(0, 2))],
+                   [r[0], r[1]])
+
+    def offgrid_excursion(orc, do):
+        """Walk an object over the grid edge (clipped selection stays a
+        rectangle, so the chain continues) and bring it back."""
+        do("ResizeGrid", [(30, 30)])
+        a, b = (1, 24), (4, 28)
+        do("Fill", [a, b, 3])
+        do("Move", [a, b, "R"])
+        for _ in range(6):                  # push over the right edge
+            r = _selected_rect(orc.state)
+            if r is None:
+                break
+            do("Move", [r[0], r[1], "R"])
+        for _ in range(8):                  # come back
+            r = _selected_rect(orc.state)
+            if r is None:
+                break
+            do("Move", [r[0], r[1], "L"])
+        r = _selected_rect(orc.state)
+        if r is not None:
+            do("RotateCW", [r[0], r[1]])
+
+    def serpentine_flood(orc, do):
+        """Serpentine corridor, then flood fill from one end — the
+        longest-path propagation case for the fixpoint kernel."""
+        do("ResizeGrid", [(30, 30)])
+        do("ResetGrid", [])
+        for i, r in enumerate(range(1, 29, 2)):   # walls with gaps
+            if i % 2 == 0:
+                do("Fill", [(r, 0), (r, 28), 2])
+            else:
+                do("Fill", [(r, 1), (r, 29), 2])
+        do("FloodFill", [(0, 0), int(rng.integers(3, 10))])
+
+    def paste_over_edge(orc, do):
+        """Clipboard paste whose clip overhangs the 30x30 frame."""
+        do("ResizeGrid", [(30, 30)])
+        a, b = (0, 0), (4, 4)
+        do("Fill", [a, b, 6])
+        do("Copy", [a, b, "Output Grid"])
+        do("Paste", [(27, 27)])             # clipped bottom-right
+        do("Paste", [(0, 26)])              # clipped right
+        do("Paste", [(28, 0)])              # clipped bottom
+        do("FloodFill", [(15, 15), 4])
+
+    def rotation_parity(orc, do):
+        """4x CW rotation of an odd x even rect — the ill-posed parity
+        center arithmetic (object.py:197-207) must round-trip."""
+        do("ResizeGrid", [(30, 30)])
+        a = (int(rng.integers(3, 12)), int(rng.integers(3, 12)))
+        b = (a[0] + 2, a[1] + 3)            # 3x4: parity-tracking case
+        do("Fill", [a, b, int(rng.integers(1, 10))])
+        do("Move", [a, b, "D"])
+        for _ in range(4):
+            r = _selected_rect(orc.state)
+            if r is None:
+                break
+            do("RotateCW", [r[0], r[1]])
+        r = _selected_rect(orc.state)
+        if r is not None:
+            do("Move", [r[0], r[1], "U"])
+
+    scripts = [continuation_chain, offgrid_excursion, serpentine_flood,
+               paste_over_edge, rotation_parity]
+    traces, infos = [], []
+    for rep in range(16):
+        for script in scripts:
+            tr, info = record(script)
+            traces.append(tr)
+            infos.append(info)
+    return tasks, traces, infos

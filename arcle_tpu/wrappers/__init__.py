@@ -81,7 +81,7 @@ FULL_OBS_FIELDS = (
     ("object_sel", 900), ("rotation_parity", 1), ("selected", 900),
     ("terminated", 1), ("trials_remain", 1),
 )
-FULL_OBS_DIM = sum(n for _, n in FULL_OBS_FIELDS)   # 5314
+FULL_OBS_DIM = sum(n for _, n in FULL_OBS_FIELDS)   # 6314
 
 
 def full_flatten_obs(state: EnvState) -> jax.Array:

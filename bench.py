@@ -83,11 +83,12 @@ def bench_reference_numpy(n_steps: int = 3000, seed: int = 0) -> float:
         return n_steps / dt
 
 
-def bench_tpu(batch: int, steps: int, iters: int, seed: int = 0) -> float:
+def bench_tpu(batch: int, steps: int, iters: int, seed: int = 0,
+              table=None, bank=None, point_actions: bool = False) -> float:
     import jax
     import jax.numpy as jnp
     from arcle_tpu.core.state import Action
-    from arcle_tpu.core.geometry import bbox_selection
+    from arcle_tpu.core.geometry import bbox_selection, point_selection
     from arcle_tpu.envs import BatchedEnv
     from arcle_tpu.loaders import SyntheticLoader
     from arcle_tpu.ops import o2arc_table
@@ -95,24 +96,35 @@ def bench_tpu(batch: int, steps: int, iters: int, seed: int = 0) -> float:
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {dev.device_kind}")
 
-    use_pallas = jax.devices()[0].platform == "tpu" and batch % 64 == 0
+    if table is None:
+        table = o2arc_table(max_trial=-1)
+    if bank is None:
+        bank = SyntheticLoader(16, seed=3).bank()
+    use_pallas = (jax.devices()[0].platform == "tpu" and batch % 64 == 0
+                  and table.n_ops == 35)
     log(f"pallas megakernel: {use_pallas}")
-    env = BatchedEnv(table=o2arc_table(max_trial=-1),
-                     bank=SyntheticLoader(16, seed=3).bank(),
+    env = BatchedEnv(table=table, bank=bank,
                      max_trial=-1, episode_limit=100, auto_reset=True,
                      use_pallas=use_pallas)
 
     H = W = 30
 
-    from arcle_tpu.core.geometry import bbox_selection_flat
+    from arcle_tpu.core.geometry import bbox_selection_flat, \
+        point_selection_flat
 
     def random_actions(key, n_ops, flat):
         k1, k2 = jax.random.split(key)
-        corners = jax.random.randint(k1, (4, batch), 0, H)
         ops = jax.random.randint(k2, (batch,), 0, n_ops)
-        builder = bbox_selection_flat if flat else bbox_selection
-        sels = jax.vmap(builder, in_axes=(0, 0, 0, 0, None, None))(
-            corners[0], corners[1], corners[2], corners[3], H, W)
+        if point_actions:
+            corners = jax.random.randint(k1, (2, batch), 0, H)
+            builder = point_selection_flat if flat else point_selection
+            sels = jax.vmap(builder, in_axes=(0, 0, None, None))(
+                corners[0], corners[1], H, W)
+        else:
+            corners = jax.random.randint(k1, (4, batch), 0, H)
+            builder = bbox_selection_flat if flat else bbox_selection
+            sels = jax.vmap(builder, in_axes=(0, 0, 0, 0, None, None))(
+                corners[0], corners[1], corners[2], corners[3], H, W)
         return Action(selection=sels, operation=ops)
 
     # NOTE: the env rides through jit as an explicit pytree argument —
@@ -235,6 +247,54 @@ def bench_scaling(batch_per_device: int, steps: int):
     return results
 
 
+def bench_baseline_configs(steps: int) -> dict:
+    """BASELINE.json configs 1-3 (Raw@1 and @256, ARCEnv+Point@1024) plus
+    the reset/auto-reset gather cost on a reference-scale (~3200-pair)
+    TaskBank at 4096 envs."""
+    import tempfile
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    from arcle_tpu.envs import BatchedEnv
+    from arcle_tpu.loaders import ARCLoader, MiniARCLoader
+    from arcle_tpu.loaders.synthetic import write_corpus
+    from arcle_tpu.ops import raw_table, arc_table, o2arc_table
+
+    out = {}
+    mini_bank = MiniARCLoader().bank()
+    # config 1: RawARCEnv + MiniARCLoader, 1 env
+    out["raw_miniarc_1env"] = round(bench_tpu(
+        1, steps, 2, table=raw_table(max_trial=-1), bank=mini_bank))
+    # config 2: RawARCEnv + ARC-format corpus, 256 envs
+    with tempfile.TemporaryDirectory() as td:
+        t0 = _time.perf_counter()
+        n_pairs = write_corpus(td, n_tasks=400, n_train=6, n_test=2)
+        arc_bank = ARCLoader(root=td).bank()
+        log(f"400-task corpus ({n_pairs} pairs) generated+baked in "
+            f"{_time.perf_counter() - t0:.1f}s")
+    out["raw_arc_256env"] = round(bench_tpu(
+        256, steps, 2, table=raw_table(max_trial=-1), bank=arc_bank))
+    # config 3: ARCEnv intent (27 ops) + PointWrapper, 1024 envs
+    out["arc_point_1024env"] = round(bench_tpu(
+        1024, steps, 2, table=arc_table(max_trial=-1), bank=arc_bank,
+        point_actions=True))
+    # reset/auto-reset gather cost at 4096 envs on the ~3200-pair bank
+    env = BatchedEnv(table=o2arc_table(max_trial=-1), bank=arc_bank,
+                     max_trial=-1, episode_limit=100, auto_reset=True)
+    rj = jax.jit(lambda e, k: e.reset(k, 4096), static_argnums=())
+    bs = env.reset(jax.random.key(0), 4096)
+    _ = int(jnp.sum(bs.env.steps))
+    t0 = _time.perf_counter()
+    bs = env.reset(jax.random.key(1), 4096)
+    _ = int(jnp.sum(bs.env.input_dim.astype(jnp.int32)))
+    out["reset_4096env_3200pair_ms"] = round(
+        (_time.perf_counter() - t0) * 1e3, 1)
+    out["corpus_pairs"] = n_pairs
+    log(f"baseline configs: {out}")
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4096)
@@ -242,6 +302,8 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--ref-steps", type=int, default=3000)
     ap.add_argument("--skip-ref", action="store_true")
+    ap.add_argument("--headline-only", action="store_true",
+                    help="skip the BASELINE configs 1-3 sweep")
     ap.add_argument("--scaling", action="store_true",
                     help="multi-device scaling harness instead of the "
                          "single-chip benchmark")
@@ -265,13 +327,19 @@ def main():
 
     rate = bench_tpu(args.batch, args.steps, args.iters)
 
-    print(json.dumps({
+    result = {
         "metric": f"O2ARCv2 env-steps/s @ {args.batch} lockstep envs "
                   f"(random bbox actions, auto-reset)",
         "value": round(rate),
         "unit": "env-steps/s",
         "vs_baseline": round(rate / ref_rate, 2),
-    }))
+    }
+    if not args.headline_only:
+        try:
+            result["configs"] = bench_baseline_configs(min(args.steps, 100))
+        except Exception as e:  # pragma: no cover
+            log(f"baseline-config sweep failed: {e}")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

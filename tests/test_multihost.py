@@ -55,3 +55,28 @@ def test_two_process_rollout_matches_single_process():
     for so, _ in outs:
         chks.update(_checksum(so))
     assert chks[0] == chks[1] == ref, (chks, ref)
+
+
+def test_missing_process_detected_at_init():
+    """Failure story (VERDICT r1 missing #10 / reference healthy_worker_ids):
+    a process expecting a 2-host job whose peer never starts must fail
+    fast with a clear error, not hang forever."""
+    env = _clean_env()
+    port = str(_free_port())
+    code = (
+        "import os\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "from arcle_tpu.parallel import init_multihost, MultihostInitTimeout\n"
+        "try:\n"
+        f"    init_multihost('127.0.0.1:{port}', num_processes=2,\n"
+        "                    process_id=0, timeout_s=8.0)\n"
+        "except MultihostInitTimeout as e:\n"
+        "    assert 'Restart the WHOLE job' in str(e)\n"
+        "    print('DETECTED')\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=120,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "DETECTED" in out.stdout, out.stdout

@@ -12,13 +12,25 @@ sys.path.insert(0, "/root/reference")
 from arcle_tpu.envs import O2ARCv2Env
 from arcle_tpu.loaders import ListLoader
 from arcle_tpu.validation import (
-    convert_ui_action, replay_trace, generate_golden_traces, ReplayReport,
+    convert_ui_action, replay_trace, generate_golden_traces,
+    generate_adversarial_traces, ReplayReport,
 )
 
 
 @pytest.fixture(scope="module")
 def golden():
-    return generate_golden_traces(n_traces=24, seed=3, n_steps=25)
+    """>=200 traces: random walks + scripted adversarial traces (long
+    continuation chains, off-grid excursions, serpentine floods,
+    paste-over-edge, rotation parity round trips)."""
+    tasks, traces, infos = generate_golden_traces(
+        n_traces=130, seed=3, n_steps=25)
+    n_tasks = len(tasks)
+    atasks, atraces, ainfos = generate_adversarial_traces(seed=9)
+    tasks = list(tasks) + list(atasks)
+    traces = traces + atraces
+    infos = infos + [(ti + n_tasks, sub) for ti, sub in ainfos]
+    assert len(traces) >= 200
+    return tasks, traces, infos
 
 
 def test_convert_matches_reference_convention():

@@ -65,7 +65,8 @@ def test_gae_against_reference_formula():
     zeros = jnp.zeros((T, B), bool)
     traj = Trajectory(obs=jnp.zeros((T, B, 1)), actions=jnp.zeros((T, B, 5), jnp.int32),
                       log_probs=jnp.zeros((T, B)), values=vals, rewards=rews,
-                      dones=zeros, terminated=zeros)
+                      dones=zeros, terminated=zeros,
+                      final_values=jnp.zeros((T, B)))
     gamma, lam = 0.9, 0.8
     adv, ret = gae(traj, jnp.asarray([5.]), gamma, lam)
     # manual backward recursion
@@ -78,6 +79,61 @@ def test_gae_against_reference_formula():
         expect[t, 0] = nxt
         v_next = float(vals[t, 0])
     np.testing.assert_allclose(np.asarray(adv), expect, rtol=1e-5)
+
+
+def test_gae_truncation_bootstrap():
+    """TimeLimit semantics (emaml_policy.py:449-460): a truncated-but-not-
+    terminated boundary bootstraps its delta with V(pre-reset obs); a true
+    termination bootstraps 0; both cut the advantage chain."""
+    from arcle_tpu.training.rollout import Trajectory
+    T, B = 5, 1
+    vals = jnp.asarray([[1.], [2.], [3.], [4.], [5.]])
+    rews = jnp.asarray([[1.], [1.], [1.], [1.], [1.]])
+    # t=1: truncation with final value 7; t=3: true termination
+    dones = jnp.asarray([[0.], [1.], [0.], [1.], [0.]], bool)
+    term = jnp.asarray([[0.], [0.], [0.], [1.], [0.]], bool)
+    fvals = jnp.asarray([[0.], [7.], [0.], [0.], [0.]])
+    traj = Trajectory(obs=jnp.zeros((T, B, 1)),
+                      actions=jnp.zeros((T, B, 5), jnp.int32),
+                      log_probs=jnp.zeros((T, B)), values=vals, rewards=rews,
+                      dones=dones, terminated=term, final_values=fvals)
+    gamma, lam = 0.9, 0.8
+    last_v = jnp.asarray([6.])
+    adv, ret = gae(traj, last_v, gamma, lam, bootstrap_truncation=True)
+    expect = np.zeros((T, 1))
+    nxt = 0.0
+    v_next = 6.0
+    for t in reversed(range(T)):
+        d = float(dones[t, 0])
+        boot = float(fvals[t, 0])          # nonzero only at the truncation
+        delta = 1.0 + gamma * (v_next * (1 - d) + boot) - float(vals[t, 0])
+        nxt = delta + gamma * lam * (1 - d) * nxt
+        expect[t, 0] = nxt
+        v_next = float(vals[t, 0])
+    np.testing.assert_allclose(np.asarray(adv), expect, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ret), expect + np.asarray(vals),
+                               rtol=1e-5)
+    # legacy mode ignores final_values entirely
+    adv0, _ = gae(traj, last_v, gamma, lam, bootstrap_truncation=False)
+    assert abs(float(adv0[1, 0]) - (1.0 - 2.0 + gamma * 7.0)) > 1.0
+
+
+def test_rollout_final_values_only_at_truncation():
+    """final_values is nonzero exactly where truncated & ~terminated, and
+    equals the value head applied to the pre-reset observation."""
+    env = make_env(limit=4)
+    B, T = 8, 9
+    agent = mlp_agent(small_policy())
+    bs = env.reset(jax.random.key(0), B)
+    params = agent.init_fn(jax.random.key(1), flatten_obs(bs.env))
+    bs, traj, last_v = rollout(env, bs, params, jax.random.key(2), T, agent)
+    fv = np.asarray(traj.final_values)
+    need = np.asarray(traj.dones & ~traj.terminated)
+    assert need.any()                      # limit=4 forces truncations
+    assert (fv[~need] == 0).all()
+    assert np.isfinite(fv).all()
+    # at least one bootstrap value should be a real (nonzero) value-head out
+    assert np.abs(fv[need]).max() > 0
 
 
 def test_ppo_train_step_improves_loss():
@@ -129,7 +185,7 @@ def test_emaml_step_runs_and_updates():
     for tt in range(cfg.n_tasks):
         assert (dims[tt] == dims[tt][0]).all()
 
-    st = init_emaml(agent, cfg, key)
+    st = init_emaml(agent, cfg, key, n_bank_tasks=5)
     st2, bs2, metrics = jax.jit(
         emaml_train_step, static_argnums=(3, 4))(st, env, bs, agent, cfg)
     assert np.isfinite(float(metrics["meta_loss"]))
@@ -138,6 +194,47 @@ def test_emaml_step_runs_and_updates():
         st.params, st2.params)
     assert any(jax.tree.leaves(changed))
     assert metrics["post_reward_per_task"].shape == (cfg.n_tasks,)
+    # success bookkeeping (emaml.py:431-454): each sampled task counted once
+    np.testing.assert_array_equal(
+        np.asarray(metrics["sampled_tasks"]),
+        np.asarray(assign).reshape(cfg.n_tasks, cfg.envs_per_task)[:, 0])
+    assert int(st2.tasks_covered.sum()) == cfg.n_tasks
+    assert int(metrics["num_covered_tasks"]) == cfg.n_tasks  # w/o replacement
+    assert metrics["once_successful"].shape == (cfg.n_tasks,)
+    assert int(st2.tasks_succeeded.sum()) == int(
+        metrics["once_successful"].sum())
+    # outer loss components present (wandb schema, train.py:130-150)
+    for k in ("outer_policy_loss", "outer_vf_loss", "outer_kl_loss",
+              "outer_total_loss"):
+        assert np.isfinite(float(metrics[k]))
+    # the persisted post batch covers every task
+    assert metrics["post_batch"].obs.shape[0] == cfg.n_tasks
+
+
+def test_emaml_with_gpt_agent():
+    """gpt_agent runs through the full emaml_train_step (inner loop, meta
+    replay, KL ladder) — CI-scale version of the train_gpt E-MAML path."""
+    cfg = EMAMLConfig(n_tasks=2, envs_per_task=2, rollout_steps=4,
+                      inner_steps=1, maml_opt_steps=1, first_order=True)
+    gcfg = GPTConfig(n_layer=1, n_head=2, n_embd=16, embd_pdrop=0.0,
+                     resid_pdrop=0.0, attn_pdrop=0.0)
+    agent = gpt_agent(GPTPolicy(gcfg))
+    bank = SyntheticLoader(4, seed=2).bank()
+    assign = sample_task_assignment(jax.random.key(5), 4, cfg)
+    opts = ResetOptions(
+        prob_index=assign, subprob_index=jnp.full_like(assign, -1),
+        adaptation=jnp.ones((), bool), reset_on_submit=jnp.zeros((), bool))
+    env = BatchedEnv(table=o2arc_table(max_trial=3), bank=bank, max_trial=3,
+                     episode_limit=4, auto_reset=True, opts=opts)
+    bs = env.reset(jax.random.key(1), cfg.n_tasks * cfg.envs_per_task)
+    st = init_emaml(agent, cfg, jax.random.key(0), n_bank_tasks=4)
+    st2, bs2, metrics = jax.jit(
+        emaml_train_step, static_argnums=(3, 4))(st, env, bs, agent, cfg)
+    assert np.isfinite(float(metrics["meta_loss"]))
+    changed = jax.tree.map(
+        lambda a, b: not np.array_equal(np.asarray(a), np.asarray(b)),
+        st.params, st2.params)
+    assert any(jax.tree.leaves(changed))
 
 
 def test_truncated_normal_matches_reference_torch():
@@ -159,21 +256,27 @@ def test_truncated_normal_matches_reference_torch():
 
 def test_bbox_dist_roundtrip():
     key = jax.random.key(0)
-    B, n_ops, D = 4, 35, 16
+    B, n_ops = 4, 35
     logits = jax.random.normal(key, (B, n_ops))
-    tokens = jax.random.normal(key, (B, n_ops, D))
-    wm = jax.random.normal(jax.random.key(1), (D, 4)) * 0.1
-    ws = jax.random.normal(jax.random.key(2), (D, 4)) * 0.1
-    head_mean = lambda t: t @ wm
-    head_std = lambda t: t @ ws
-    s = bbox_dist.sample(key, logits, tokens, head_mean, head_std)
+    mean_all = jax.random.normal(jax.random.key(1), (B, n_ops, 4)) * 0.1
+    std_all = jax.random.normal(jax.random.key(2), (B, n_ops, 4)) * 0.1
+    s = bbox_dist.sample(key, logits, mean_all, std_all)
     assert s.bbox.shape == (B, 4)
     assert (np.asarray(s.bbox) >= 0).all() and (np.asarray(s.bbox) < 30).all()
-    lp = bbox_dist.log_prob(logits, tokens, s.operation, s.bbox,
-                            head_mean, head_std)
+    lp = bbox_dist.log_prob(logits, mean_all, std_all, s.operation, s.bbox)
     assert np.isfinite(np.asarray(lp)).all()
-    ent = bbox_dist.entropy(logits, tokens, s.operation, head_mean, head_std)
+    ent = bbox_dist.entropy(logits, mean_all, std_all, s.operation)
     assert np.isfinite(np.asarray(ent)).all()
+    # select_op is the gather it replaces
+    np.testing.assert_allclose(
+        np.asarray(bbox_dist.select_op(mean_all, s.operation)),
+        np.asarray(jnp.take_along_axis(
+            mean_all, s.operation[:, None, None], axis=1).squeeze(1)),
+        rtol=1e-6)
+    # deterministic mode: argmax op, mean bbox
+    sd = bbox_dist.sample(key, logits, mean_all, std_all, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(sd.operation),
+                                  np.asarray(jnp.argmax(logits, -1)))
 
 
 def test_gpt_policy_forward():
@@ -193,6 +296,93 @@ def test_gpt_policy_forward():
     assert out["value"].shape == (B,)
     assert out["aux_transition"].shape == (B, 900, 10)
     assert np.isfinite(np.asarray(out["op_logits"])).all()
+
+
+def test_gpt_action_conditioned_pass():
+    """The second, action-conditioned forward (GPTPolicy.py:401-456
+    intent): appended op/bbox tokens change the aux predictions but the
+    policy heads' token slots stay put."""
+    cfg = GPTConfig(n_layer=2, n_head=4, n_embd=32,
+                    embd_pdrop=0.0, resid_pdrop=0.0, attn_pdrop=0.0)
+    model = GPTPolicy(cfg)
+    B = 3
+    env = make_env()
+    bs = env.reset(jax.random.key(0), B)
+    s = bs.env
+    params = model.init(jax.random.key(1), s.grid, s.grid_dim, s.input,
+                        s.input_dim, s.trials_remain, s.active)
+    base = model.apply(params, s.grid, s.grid_dim, s.input, s.input_dim,
+                       s.trials_remain, s.active)
+    op = jnp.asarray([3, 24, 34])
+    bb = jnp.asarray([[0.1, 0.2, 0.5, 0.9]] * B)
+    cond = model.apply(params, s.grid, s.grid_dim, s.input, s.input_dim,
+                       s.trials_remain, s.active, operation=op, bbox=bb)
+    # aux heads are now action-conditioned (values actually change)
+    assert not np.allclose(np.asarray(cond["aux_reward"]),
+                           np.asarray(base["aux_reward"]))
+    assert not np.allclose(np.asarray(cond["aux_transition"]),
+                           np.asarray(base["aux_transition"]))
+    # different actions give different predictions
+    cond2 = model.apply(params, s.grid, s.grid_dim, s.input, s.input_dim,
+                        s.trials_remain, s.active,
+                        operation=jnp.asarray([10, 10, 10]), bbox=bb * 0.5)
+    assert not np.allclose(np.asarray(cond2["aux_reward"]),
+                           np.asarray(cond["aux_reward"]))
+    assert cond["aux_transition"].shape == (B, 900, 10)
+    assert cond["op_logits"].shape == (B, 35)
+
+
+def test_gpt_aux_loss_gradients_flow():
+    """aux_coeff > 0 wires the paper's 3 auxiliary losses through
+    ppo_loss, and gradients reach the aux heads + bbox encoder."""
+    from arcle_tpu.training.rollout import rollout as _rollout
+    cfg = GPTConfig(n_layer=1, n_head=2, n_embd=16,
+                    embd_pdrop=0.0, resid_pdrop=0.0, attn_pdrop=0.0)
+    agent = gpt_agent(GPTPolicy(cfg))
+    env = make_env(limit=5)
+    B, T = 4, 6
+    bs = env.reset(jax.random.key(0), B)
+    params = agent.init_fn(jax.random.key(1), agent.obs_fn(bs.env))
+    bs, traj, last_v = _rollout(env, bs, params, jax.random.key(2), T,
+                                agent)
+    pcfg = PPOConfig(aux_coeff=0.5)
+    batch = batch_from_trajectory(traj, last_v, pcfg, include_aux=True)
+    assert batch.next_grid.shape == (T * B, 900)
+    assert batch.aux_valid.shape == (T * B,)
+    (loss, stats), grads = jax.value_and_grad(ppo_loss, has_aux=True)(
+        params, agent, batch, pcfg)
+    assert np.isfinite(float(loss))
+    for k in ("aux_loss", "aux_rtm1_loss", "aux_r_loss", "aux_grid_loss"):
+        assert np.isfinite(float(stats[k])), k
+    g = grads["params"]
+    for name in ("bbox_encoder", "head_aux_reward", "head_aux_transition",
+                 "head_aux_rtm1"):
+        leaves = jax.tree.leaves(g[name])
+        assert any(float(jnp.abs(l).max()) > 0 for l in leaves), name
+    # off by default: aux stats absent, loss has no aux term
+    loss0, stats0 = ppo_loss(params, agent, batch, PPOConfig())
+    assert "aux_loss" not in stats0
+
+
+def test_dt_behavior_cloning_learns():
+    """DTPolicy trains: behavior cloning on oracle golden traces reduces
+    the action-prediction loss (the training loop the reference's
+    under-construction DTPolicy never got)."""
+    from arcle_tpu.validation import generate_golden_traces
+    from arcle_tpu.training.dt_bc import dataset_from_traces, train_bc
+    from arcle_tpu.models.dt import DTPolicy, DTConfig
+
+    tasks, traces, infos = generate_golden_traces(n_traces=8, seed=11,
+                                                  n_steps=10)
+    batch = dataset_from_traces(tasks, traces, infos, T_max=10)
+    assert batch.grids.shape[1] == 10
+    assert float(batch.mask.sum()) > 0
+    model = DTPolicy(DTConfig(n_layer=1, n_head=2, n_embd=32,
+                              max_timesteps=10))
+    params, losses = train_bc(model, batch, jax.random.key(0), n_steps=30,
+                              lr=1e-3)
+    assert np.isfinite(np.asarray(losses)).all()
+    assert float(losses[-1]) < float(losses[0]) * 0.9
 
 
 def test_hypermlp_forward():

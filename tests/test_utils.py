@@ -59,3 +59,39 @@ def test_train_gpt_driver_smoke(tmp_path):
           "--log-file", str(tmp_path / "log.jsonl"),
           "--ckpt-dir", str(tmp_path / "ck")])
     assert os.path.exists(tmp_path / "log.jsonl")
+
+
+def test_train_driver_resume(tmp_path):
+    """Kill-and-resume: the restored run continues from the checkpointed
+    iteration (the RLlib algo.save / from_checkpoint counterpart)."""
+    from arcle_tpu.training.train import main
+    log = str(tmp_path / "log.jsonl")
+    main(["--smoke", "--algo", "ppo", "--iterations", "2",
+          "--log-file", log, "--ckpt-dir", str(tmp_path / "ck")])
+    main(["--smoke", "--algo", "ppo", "--iterations", "4", "--resume",
+          "--log-file", log, "--ckpt-dir", str(tmp_path / "ck")])
+    rows = [json.loads(l) for l in open(log) if l.strip()]
+    its = [r["iteration"] for r in rows]
+    # first run logs 0,1; the resumed run starts at 2 (not 0) and reaches 3
+    assert its == [0, 1, 2, 3]
+
+
+def test_emaml_driver_smoke_bookkeeping(tmp_path):
+    """E-MAML driver logs the reference wandb schema incl. success
+    counters (train.py:130-150), and resume restores the counters."""
+    from arcle_tpu.training.train import main
+    log = str(tmp_path / "log.jsonl")
+    main(["--smoke", "--algo", "emaml", "--iterations", "1",
+          "--log-file", log, "--ckpt-dir", str(tmp_path / "ck")])
+    row = json.loads(open(log).read().strip().splitlines()[-1])
+    for k in ("outer_policy_loss", "outer_vf_loss", "outer_total_loss",
+              "adapt_eprewmean", "post_eprewmean", "post_eprewmax",
+              "num_covered_tasks", "num_succeed_tasks"):
+        assert k in row, k
+    assert row["num_covered_tasks"] >= 1
+    main(["--smoke", "--algo", "emaml", "--iterations", "2", "--resume",
+          "--log-file", log, "--ckpt-dir", str(tmp_path / "ck")])
+    rows = [json.loads(l) for l in open(log) if l.strip()]
+    assert rows[-1]["iteration"] == 1
+    # coverage accumulates across the resume
+    assert rows[-1]["num_covered_tasks"] >= rows[0]["num_covered_tasks"]
