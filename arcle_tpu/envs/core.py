@@ -86,12 +86,44 @@ transition = _transition
 # ---------------------------------------------------------------------------
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class ResetPool:
+    """Pre-drawn fresh episodes for in-scan auto-reset.
+
+    Reset-time augmentation (rot90 + recolor, agents/env.py:31-42) costs
+    ~45 small kernels; executed inside the step's auto-reset branch it
+    dominates the whole training rollout (~3.6 of ~6 ms/step at B=4096,
+    launch-overhead-bound).  Drawing K fresh (task, pair, augmentation)
+    triples per env slot *once per rollout* — where the same kernels run
+    over [B*K] rows, bandwidth-bound — turns the in-scan reset into a
+    plain row gather.
+
+    Entry layout: env slot ``i`` owns rows ``[i*K, (i+1)*K)`` — drawn with
+    slot ``i``'s own ResetOptions, so per-env task pinning (E-MAML) is
+    preserved.  ``counter`` walks each slot's segment; consumption past K
+    wraps (a rollout whose episodes are shorter than T/K steps re-uses
+    augmentations — refresh more often or raise K if that matters).
+    """
+
+    grid: jax.Array        # i8 [B*K, H, W] input masked to dims (grid0)
+    dim: jax.Array         # i8 [B*K, 2]
+    answer: jax.Array      # i8 [B*K, H, W]
+    answer_dim: jax.Array  # i8 [B*K, 2]
+    counter: jax.Array     # i32 [B] next entry per env slot
+
+    @property
+    def k(self) -> int:
+        return self.grid.shape[0] // self.counter.shape[0]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class BatchedState:
     """Carry for a batch of envs stepping in lockstep: env states + per-env
-    PRNG keys (for auto-reset task sampling)."""
+    PRNG keys (for auto-reset task sampling) + optional reset pool."""
 
     env: EnvState              # leaves have leading [B]
     key: jax.Array             # u32 [B, 2]
+    pool: Optional[ResetPool] = None
 
     @property
     def batch(self) -> int:
@@ -129,6 +161,9 @@ class BatchedEnv:
     dense_reward: bool = False      # CustomO2ARCEnv shaping (env.py:44-58)
     augment: bool = False           # reset-time rot90+recolor (env.py:31-42)
     use_pallas: bool = False        # whole-step VMEM megakernel (TPU only)
+    reset_pool: int = 0             # K>0: auto-reset consumes a K-entry
+                                    # pre-drawn ResetPool instead of
+                                    # computing reset+augment in-scan
     opts: ResetOptions = dataclasses.field(
         default_factory=lambda: ResetOptions.make())
 
@@ -139,12 +174,41 @@ class BatchedEnv:
                             self.opts)
 
     def reset(self, key: jax.Array, batch: int) -> BatchedState:
-        keys = jax.random.split(key, batch + 1)
+        keys = jax.random.split(key, batch + 2)
         env = jax.vmap(
             lambda k, o: reset(self.bank, k, o, self.max_trial,
                                self.augment),
-            in_axes=(0, self._opts_axes()))(keys[1:], self.opts)
-        return BatchedState(env=env, key=jax.random.split(keys[0], batch))
+            in_axes=(0, self._opts_axes()))(keys[2:], self.opts)
+        pool = (make_reset_pool(self, keys[1], batch)
+                if self.reset_pool > 0 and self.auto_reset else None)
+        return BatchedState(env=env, key=jax.random.split(keys[0], batch),
+                            pool=pool)
+
+    def _fresh_from_pool(self, pool: ResetPool, env2: EnvState) -> EnvState:
+        """The next pre-drawn fresh state per env slot, layout-matched to
+        ``env2`` (grids flat or square) — the pooled counterpart of the
+        vmapped ``reset`` in the auto-reset branch."""
+        B = pool.counter.shape[0]
+        idx = (jnp.arange(B, dtype=I32) * pool.k) + (pool.counter % pool.k)
+        grid0, dim = pool.grid[idx], pool.dim[idx]
+        zg = jnp.zeros_like(env2.grid)
+        zd = jnp.zeros_like(env2.grid_dim)
+        zs = jnp.zeros_like(env2.active)
+        ros = jnp.broadcast_to(
+            self.opts.reset_on_submit.astype(I8), (B,))
+        return EnvState(
+            trials_remain=jnp.full((B,), self.max_trial, I8),
+            terminated=zs,
+            input=grid0, input_dim=dim, grid=grid0, grid_dim=dim,
+            clip=zg, clip_dim=zd, selected=zg, active=zs,
+            object=zg, object_sel=zg, object_dim=zd, object_pos=zd,
+            background=zg, rotation_parity=zs,
+            answer=pool.answer[idx], answer_dim=pool.answer_dim[idx],
+            reset_on_submit=ros,
+            steps=jnp.zeros((B,), I32), submit_count=jnp.zeros((B,), I32),
+            last_action_op=jnp.full((B,), -1, I32),
+            last_reward=jnp.zeros((B,), jnp.float32),
+        )
 
     def step(self, bs: BatchedState, action: Action
              ) -> Tuple[BatchedState, EnvState, jax.Array, jax.Array, jax.Array]:
@@ -184,29 +248,10 @@ class BatchedEnv:
         else:
             trunc = jnp.zeros_like(term)
         if not self.auto_reset:
-            return (BatchedState(env=env2, key=bs.key),
+            return (BatchedState(env=env2, key=bs.key, pool=bs.pool),
                     env2, reward, term, trunc)
-        done = term | trunc
-
-        def do_reset(args):
-            env2, keys = args
-            split = jax.vmap(jax.random.split)(keys)   # [B, 2, 2]
-            next_key, reset_key = split[:, 0], split[:, 1]
-            fresh = jax.vmap(lambda k, b, o: reset(b, k, o, self.max_trial,
-                                                   self.augment),
-                             in_axes=(0, None, self._opts_axes()))(
-                reset_key, self.bank, self.opts)
-            env3 = jax.tree.map(
-                lambda a, b: jnp.where(
-                    done.reshape((-1,) + (1,) * (a.ndim - 1)), b, a),
-                env2, fresh)
-            kmask = done if next_key.ndim == 1 else done[:, None]
-            key3 = jnp.where(kmask, next_key, keys)
-            return env3, key3
-
-        env3, key3 = jax.lax.cond(
-            jnp.any(done), do_reset, lambda a: a, (env2, bs.key))
-        return BatchedState(env=env3, key=key3), env2, reward, term, trunc
+        bs3 = self._auto_reset(env2, bs, term | trunc, flat=False)
+        return bs3, env2, reward, term, trunc
 
     def step_flat(self, bs: BatchedState, action: Action
                   ) -> Tuple[BatchedState, EnvState, jax.Array, jax.Array,
@@ -242,22 +287,47 @@ class BatchedEnv:
         else:
             trunc = jnp.zeros_like(term)
         if not self.auto_reset:
-            return (BatchedState(env=env2, key=bs.key),
+            return (BatchedState(env=env2, key=bs.key, pool=bs.pool),
                     env2, reward, term, trunc)
-        done = term | trunc
+        bs3 = self._auto_reset(env2, bs, term | trunc, flat=True)
+        return bs3, env2, reward, term, trunc
 
-        def do_reset(args):
-            env2, keys = args
-            split = jax.vmap(jax.random.split)(keys)
-            next_key, reset_key = split[:, 0], split[:, 1]
-            fresh = flatten_grids(jax.vmap(
-                lambda k, b, o: reset(b, k, o, self.max_trial, self.augment),
-                in_axes=(0, None, self._opts_axes()))(
-                reset_key, self.bank, self.opts))
-            env3 = jax.tree.map(
+    def _auto_reset(self, env2: EnvState, bs: BatchedState, done: jax.Array,
+                    flat: bool) -> BatchedState:
+        """Replace done envs with fresh states — from the pre-drawn pool
+        when one rides the carry, else by computing reset+augment in-branch.
+        Runs behind a batch-level ``lax.cond`` either way."""
+        def merge(env2, fresh):
+            return jax.tree.map(
                 lambda a, b: jnp.where(
                     done.reshape((-1,) + (1,) * (a.ndim - 1)), b, a),
                 env2, fresh)
+
+        if bs.pool is not None:
+            pool = bs.pool
+
+            def do_reset(args):
+                env2, ctr = args
+                fresh = self._fresh_from_pool(
+                    dataclasses.replace(pool, counter=ctr), env2)
+                return merge(env2, fresh), ctr + done.astype(I32)
+
+            env3, ctr2 = jax.lax.cond(
+                jnp.any(done), do_reset, lambda a: a, (env2, pool.counter))
+            return BatchedState(env=env3, key=bs.key,
+                                pool=dataclasses.replace(pool, counter=ctr2))
+
+        def do_reset(args):
+            env2, keys = args
+            split = jax.vmap(jax.random.split)(keys)   # [B, 2, 2]
+            next_key, reset_key = split[:, 0], split[:, 1]
+            fresh = jax.vmap(lambda k, b, o: reset(b, k, o, self.max_trial,
+                                                   self.augment),
+                             in_axes=(0, None, self._opts_axes()))(
+                reset_key, self.bank, self.opts)
+            if flat:
+                fresh = flatten_grids(fresh)
+            env3 = merge(env2, fresh)
             # raw uint32 [B,2] keys need the trailing axis broadcast;
             # typed key arrays are logically [B]
             kmask = done if next_key.ndim == 1 else done[:, None]
@@ -266,15 +336,35 @@ class BatchedEnv:
 
         env3, key3 = jax.lax.cond(
             jnp.any(done), do_reset, lambda a: a, (env2, bs.key))
-        return BatchedState(env=env3, key=key3), env2, reward, term, trunc
+        return BatchedState(env=env3, key=key3)
 
 
 jax.tree_util.register_dataclass(
     BatchedEnv,
     data_fields=["bank", "opts"],
     meta_fields=["table", "max_trial", "episode_limit", "auto_reset",
-                 "dense_reward", "augment", "use_pallas"],
+                 "dense_reward", "augment", "use_pallas", "reset_pool"],
 )
+
+
+def make_reset_pool(env: BatchedEnv, key: jax.Array, batch: int,
+                    k: Optional[int] = None) -> ResetPool:
+    """Draw ``k`` fresh (task, pair, augmentation) triples per env slot in
+    one bandwidth-bound batch (see :class:`ResetPool`).  Slot ``i``'s
+    entries use its own per-env ResetOptions row, so task pinning holds."""
+    k = env.reset_pool if k is None else k
+    keys = jax.random.split(key, batch * k)
+    # tile per-env option rows K times so row i*K+j carries slot i's opts
+    opts = jax.tree.map(
+        lambda x: jnp.repeat(x, k, axis=0) if jnp.ndim(x) > 0 else x,
+        env.opts)
+    fresh = jax.vmap(
+        lambda kk, o: reset(env.bank, kk, o, env.max_trial, env.augment),
+        in_axes=(0, env._opts_axes()))(keys, opts)
+    # only 4 leaves are kept — XLA dead-code-eliminates the rest
+    return ResetPool(grid=fresh.grid, dim=fresh.grid_dim,
+                     answer=fresh.answer, answer_dim=fresh.answer_dim,
+                     counter=jnp.zeros((batch,), I32))
 
 
 def flatten_grids(tree, H: int = 30, W: int = 30):

@@ -62,6 +62,10 @@ class EMAMLState(NamedTuple):
     opt_state: optax.OptState
     kl_coeffs: jax.Array       # f32 [n_tasks, inner_steps] KL ladder
     key: jax.Array
+    # success bookkeeping across meta-iterations (the reference's
+    # tasks_covered/succeed accumulators, train.py:106-108,118-121):
+    tasks_covered: jax.Array   # i32 [n_bank_tasks] times each task sampled
+    tasks_succeeded: jax.Array # i32 [n_bank_tasks] times each task solved
 
 
 def make_meta_optimizer(cfg: EMAMLConfig) -> optax.GradientTransformation:
@@ -69,7 +73,7 @@ def make_meta_optimizer(cfg: EMAMLConfig) -> optax.GradientTransformation:
 
 
 def init_emaml(agent: Agent, cfg: EMAMLConfig, key: jax.Array,
-               obs_dim: int = None) -> EMAMLState:
+               obs_dim: int = None, n_bank_tasks: int = 1) -> EMAMLState:
     kp, kk = jax.random.split(key)
     obs_dim = obs_dim if obs_dim is not None else agent.obs_dim
     params = agent.init_fn(kp, jnp.zeros((1, obs_dim), jnp.int8))
@@ -77,7 +81,9 @@ def init_emaml(agent: Agent, cfg: EMAMLConfig, key: jax.Array,
     return EMAMLState(
         params=params, opt_state=tx.init(params),
         kl_coeffs=jnp.full((cfg.n_tasks, cfg.inner_steps), 0.0005),
-        key=kk)
+        key=kk,
+        tasks_covered=jnp.zeros((n_bank_tasks,), jnp.int32),
+        tasks_succeeded=jnp.zeros((n_bank_tasks,), jnp.int32))
 
 
 def _inner_update(params, batch: PPOBatch, cfg: EMAMLConfig, agent: Agent):
@@ -108,10 +114,13 @@ def emaml_train_step(state: EMAMLState, env: BatchedEnv, bs: BatchedState,
     T, E = cfg.n_tasks, cfg.envs_per_task
 
     def reshape_task(x):
-        return x.reshape((T, E) + x.shape[1:])
+        # (T, -1): env leaves are [T*E, ...] -> (T, E, ...); ResetPool
+        # leaves are [T*E*K, ...] -> (T, E*K, ...) — task segments stay
+        # contiguous either way, so per-task slot indexing is preserved
+        return x.reshape((T, -1) + x.shape[1:])
 
     def flatten_task(x):
-        return x.reshape((T * E,) + x.shape[2:])
+        return x.reshape((-1,) + x.shape[2:])
 
     def task_rollout(bs_flat, task_params, key, deterministic):
         """Per-task rollout with per-task params: vmap over the task axis.
@@ -165,49 +174,90 @@ def emaml_train_step(state: EMAMLState, env: BatchedEnv, bs: BatchedState,
         def per_task(task_idx):
             tb = jax.tree.map(lambda x: x[:, task_idx], inner_batches)
             pb = jax.tree.map(lambda x: x[task_idx], post_batch)
-            kls = []
-            p = params
 
             def chain(p, step_batch):
-                # inner-step KL term (KLCoeffMixin ladder)
+                # inner-step KL term (KLCoeffMixin ladder); scanned so the
+                # replay graph stays one body regardless of inner_steps
                 lp, _, _ = agent.evaluate_fn(p, step_batch.obs,
                                              step_batch.actions)
                 kl = (step_batch.log_probs - lp).mean()
                 p2 = _inner_update(p, step_batch, cfg, agent)
                 return p2, kl
 
-            for k in range(cfg.inner_steps):
-                p, kl_k = chain(p, jax.tree.map(lambda x: x[k], tb))
-                kls.append(kl_k)
-            loss, _stats = ppo_loss(p, agent, pb, cfg.ppo)
-            kl_pen = sum(state.kl_coeffs[task_idx, k] * kls[k]
-                         for k in range(cfg.inner_steps))
-            return loss + kl_pen, jnp.stack(kls)
+            p, kls = jax.lax.scan(chain, params, tb)
+            loss, stats = ppo_loss(p, agent, pb, cfg.ppo)
+            kl_pen = jnp.sum(state.kl_coeffs[task_idx] * kls)
+            return loss + kl_pen, (kls, stats)
 
-        losses, kls = jax.vmap(per_task)(jnp.arange(T))
-        return losses.mean(), kls
+        losses, (kls, stats) = jax.vmap(per_task)(jnp.arange(T))
+        return losses.mean(), (kls, jax.tree.map(jnp.mean, stats))
 
     tx = make_meta_optimizer(cfg)
-    params, opt_state = params0, state.opt_state
-    inner_kls = None
-    for _ in range(cfg.maml_opt_steps):
-        (loss, inner_kls), grads = jax.value_and_grad(
+
+    def meta_opt_step(carry, _):
+        params, opt_state = carry
+        (loss, aux), grads = jax.value_and_grad(
             meta_loss, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        return (params, opt_state), (loss, aux)
+
+    (params, opt_state), (losses_seq, aux_seq) = jax.lax.scan(
+        meta_opt_step, (params0, state.opt_state), None,
+        length=cfg.maml_opt_steps)
+    loss = losses_seq[-1]
+    # KLs / outer stats from the last meta-opt step
+    inner_kls = jax.tree.map(lambda x: x[-1], aux_seq[0])
+    outer_stats = jax.tree.map(lambda x: x[-1], aux_seq[1])
 
     # ---- inner KL coefficient ladder (emaml_policy.py:284-299) ----
     kc = state.kl_coeffs
     kc = jnp.where(inner_kls > 2.0 * cfg.kl_target, kc * 1.5, kc)
     kc = jnp.where(inner_kls < 0.5 * cfg.kl_target, kc * 0.5, kc)
 
+    # ---- success bookkeeping (emaml.py:431-454, train.py:118-121) ----
+    # a task counts as solved iff its post-adaptation batch contains a
+    # positive reward (rewards.max() > 0 in the reference; with the dense
+    # shaping 100*sparse - 1 + frac this is equivalent to a sparse solve)
+    if jnp.ndim(env.opts.prob_index) > 0:
+        task_ids = reshape_task(env.opts.prob_index)[:, 0]  # i32 [T]
+    else:                               # unpinned opts: degenerate slot 0
+        task_ids = jnp.zeros((T,), jnp.int32)
+    task_success = post_traj.rewards.max(axis=(1, 2)) > 0.0
+    covered = state.tasks_covered.at[task_ids].add(1)
+    succeeded = state.tasks_succeeded.at[task_ids].add(
+        task_success.astype(jnp.int32))
+
+    # per-episode reward aggregates for the wandb schema
+    # (train.py:130-150: adapt/post eprew max/mean/min); episodes are
+    # approximated by per-env rollout sums, as RLlib's episode_reward_*
+    # aggregates completed episodes per phase
+    post_ep = post_traj.rewards.sum(axis=1)              # [T, E] per-env sum
     metrics = {
         "meta_loss": loss,
+        "outer_policy_loss": outer_stats["policy_loss"],
+        "outer_vf_loss": outer_stats["vf_loss"],
+        "outer_kl_loss": outer_stats["kl"],
+        "outer_total_loss": outer_stats["total_loss"],
         "adapt_reward_mean": inner_rews.mean(),
+        "adapt_reward_max": inner_rews.max(),
+        "adapt_reward_min": inner_rews.min(),
         "post_reward_mean": post_traj.rewards.mean(),
         "post_reward_per_task": post_traj.rewards.mean(axis=(1, 2)),
+        "post_eprew_mean": post_ep.mean(),
+        "post_eprew_max": post_ep.max(),
+        "post_eprew_min": post_ep.min(),
         "inner_kl_mean": inner_kls.mean(),
+        "sampled_tasks": task_ids,
+        "once_successful": task_success,
+        "num_covered_tasks": (covered > 0).sum(),
+        "num_succeed_tasks": (succeeded > 0).sum(),
+        # the post-adaptation batch, for successful-batch persistence
+        # (train.py:126-128); a device array — the driver only pays the
+        # host transfer when it actually saves
+        "post_batch": post_batch,
     }
     new_state = EMAMLState(params=params, opt_state=opt_state,
-                           kl_coeffs=kc, key=key)
+                           kl_coeffs=kc, key=key,
+                           tasks_covered=covered, tasks_succeeded=succeeded)
     return new_state, bs, metrics

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..core.state import Action
 from ..core.geometry import bbox_selection, bbox_selection_flat
 from ..envs.core import BatchedEnv, BatchedState, flatten_grids, \
-    unflatten_grids
+    make_reset_pool, unflatten_grids
 
 
 class Trajectory(NamedTuple):
@@ -32,8 +32,12 @@ class Trajectory(NamedTuple):
     rewards: jax.Array    # f32 [T, B]
     dones: jax.Array      # bool [T, B]      terminated | truncated
     terminated: jax.Array # bool [T, B]      true terminations (solves /
-                          # trial exhaustion) — metrics only; GAE cuts at
-                          # any episode boundary
+                          # trial exhaustion); GAE bootstraps truncated-
+                          # but-not-terminated boundaries with final_values
+    final_values: jax.Array  # f32 [T, B]   V(pre-reset obs) where truncated
+                          # & not terminated, else 0 — the TimeLimit
+                          # bootstrap of the reference's GAE postprocessing
+                          # (emaml_policy.py:449-460)
 
 
 def decode_bbox_actions(actions: jax.Array, H: int = 30, W: int = 30,
@@ -59,6 +63,14 @@ def rollout(env: BatchedEnv, bs: BatchedState, params, key: jax.Array,
     # the square step but still rides a flat carry (4x less HBM).
     pure_flat = env.use_pallas
 
+    # refresh the auto-reset pool once per rollout: fresh augmentations
+    # drawn in one bandwidth-bound batch instead of ~45 launch-bound
+    # kernels inside the scan's reset branch (see envs.core.ResetPool)
+    if env.auto_reset and env.reset_pool > 0:
+        key, kp = jax.random.split(key)
+        bs = dataclasses.replace(
+            bs, pool=make_reset_pool(env, kp, bs.batch))
+
     def body(carry, _):
         bs_flat, key = carry
         key, ka = jax.random.split(key)
@@ -75,8 +87,26 @@ def rollout(env: BatchedEnv, bs: BatchedState, params, key: jax.Array,
             bs2, obs_env, rew, term, trunc = env.step(
                 bs, decode_bbox_actions(acts))
             next_carry = flatten_grids(bs2)
+
+        # TimeLimit bootstrap value: V of the *pre-reset* observation
+        # (obs_env), needed only where an episode was truncated without
+        # terminating.  Behind a batch-level cond, so the extra policy
+        # forward runs only on steps where some env actually hit the
+        # limit (~1/episode_limit of steps in the lockstep schedule).
+        need = trunc & ~term
+
+        def compute_fv(_):
+            _, v_fin, _ = agent.evaluate_fn(params, agent.obs_fn(obs_env),
+                                            acts)
+            return v_fin
+
+        fv = jax.lax.cond(jnp.any(need), compute_fv,
+                          lambda _: jnp.zeros_like(value), None)
+        fv = jnp.where(need, fv, 0.0)
+
         out = Trajectory(obs=obs, actions=acts, log_probs=lp, values=value,
-                         rewards=rew, dones=term | trunc, terminated=term)
+                         rewards=rew, dones=term | trunc, terminated=term,
+                         final_values=fv)
         return (next_carry, key), out
 
     (bs_flat, key), traj = jax.lax.scan(
@@ -89,27 +119,36 @@ def rollout(env: BatchedEnv, bs: BatchedState, params, key: jax.Array,
 
 
 def gae(traj: Trajectory, last_value: jax.Array, gamma: float,
-        lam: float) -> Tuple[jax.Array, jax.Array]:
+        lam: float, bootstrap_truncation: bool = True
+        ) -> Tuple[jax.Array, jax.Array]:
     """Generalized advantage estimation over time-major trajectories
     (the reference's RLlib GAE postprocessing, emaml_policy.py:449-460).
 
     With in-graph auto-reset the observation after a ``done`` belongs to a
-    fresh episode, so value bootstrapping is cut at *any* episode boundary
-    (truncations are treated as terminations — the standard lockstep
-    simplification; the reference's TimeLimit path bootstraps truncations
-    host-side instead).
+    fresh episode, so the advantage recursion is cut at *any* episode
+    boundary; truncated-but-not-terminated boundaries bootstrap their final
+    delta with ``traj.final_values`` — V of the pre-reset observation —
+    matching the reference's TimeLimit handling
+    (Postprocessing/compute_gae_for_sample_batch via emaml_policy.py:449-460).
+    ``bootstrap_truncation=False`` restores the treat-truncation-as-
+    termination simplification (the round-1 semantics).
     """
+    fv = traj.final_values if bootstrap_truncation \
+        else jnp.zeros_like(traj.values)
+
     def body(carry, xs):
         adv_next, v_next = carry
-        value, reward, done = xs
+        value, reward, done, fval = xs
         noncut = 1.0 - done.astype(jnp.float32)
-        delta = reward + gamma * v_next * noncut - value
+        # at a truncation fval = V(pre-reset obs) and noncut = 0: the delta
+        # bootstraps while the advantage chain still cuts
+        delta = reward + gamma * (v_next * noncut + fval) - value
         adv = delta + gamma * lam * noncut * adv_next
         return (adv, value), adv
 
     (_, _), advs = jax.lax.scan(
         body, (jnp.zeros_like(last_value), last_value),
-        (traj.values, traj.rewards, traj.dones),
+        (traj.values, traj.rewards, traj.dones, fv),
         reverse=True)
     returns = advs + traj.values
     return advs, returns

@@ -48,19 +48,30 @@ def build_agent(cfg: RunConfig):
         from ..models.gpt import GPTPolicy
         from .agents import gpt_agent
         return gpt_agent(GPTPolicy(cfg.gpt))
+    dtype = jnp.bfloat16 if cfg.mlp_dtype in ("bf16", "bfloat16") \
+        else jnp.float32
     policy = FCPolicy(hidden=tuple(cfg.mlp_hidden),
-                      n_ops=make_table(cfg.env).n_ops)
+                      n_ops=make_table(cfg.env).n_ops, dtype=dtype)
     return mlp_agent(policy)
 
 
-def run_ppo(cfg: RunConfig, logger: MetricLogger):
+def _key_data(key):
+    return jax.random.key_data(key)
+
+
+def _wrap_key(data):
+    return jax.random.wrap_key_data(jnp.asarray(data))
+
+
+def run_ppo(cfg: RunConfig, logger: MetricLogger, resume: bool = False):
     table = make_table(cfg.env)
     env = BatchedEnv(table=table, bank=make_loader(cfg.env).bank(),
                      max_trial=cfg.env.max_trial,
                      episode_limit=cfg.env.episode_limit,
                      auto_reset=True, dense_reward=cfg.env.dense_reward,
                      augment=cfg.env.augment,
-                     use_pallas=_pallas_enabled(cfg))
+                     use_pallas=_pallas_enabled(cfg),
+                     reset_pool=cfg.env.reset_pool)
     agent = build_agent(cfg)
     key = jax.random.key(cfg.seed)
     key, ki, kr = jax.random.split(key, 3)
@@ -72,10 +83,13 @@ def run_ppo(cfg: RunConfig, logger: MetricLogger):
 
     T = cfg.env.episode_limit or 100
 
+    include_aux = cfg.ppo.aux_coeff > 0.0 and agent.aux_fn is not None
+
     def iteration(env, bs, params, opt_state, key):
         key, kroll, ktrain = jax.random.split(key, 3)
         bs, traj, last_v = rollout(env, bs, params, kroll, T, agent)
-        batch = batch_from_trajectory(traj, last_v, cfg.ppo)
+        batch = batch_from_trajectory(traj, last_v, cfg.ppo,
+                                      include_aux=include_aux)
         params, opt_state, stats = train_step(
             params, opt_state, batch, ktrain, agent, tx, cfg.ppo)
         stats = dict(stats)
@@ -90,8 +104,21 @@ def run_ppo(cfg: RunConfig, logger: MetricLogger):
 
     it_j = jax.jit(iteration)
     ckpt = Checkpointer(cfg.checkpoint_dir)
+    start = 0
+    if resume:
+        # the reference resumes via RLlib checkpoints (algo.save /
+        # Algorithm.from_checkpoint); here the whole training state is one
+        # orbax tree
+        tmpl = {"params": params, "opt_state": opt_state,
+                "key": _key_data(key), "iteration": 0}
+        restored = ckpt.restore(tmpl)
+        if restored is not None:
+            params, opt_state = restored["params"], restored["opt_state"]
+            key = _wrap_key(restored["key"])
+            start = int(restored["iteration"]) + 1
+            print(f"resumed from iteration {start - 1}", file=sys.stderr)
     thr = Throughput()
-    for i in range(cfg.total_iterations):
+    for i in range(start, cfg.total_iterations):
         bs, params, opt_state, key, stats = it_j(env, bs, params,
                                                  opt_state, key)
         rate = thr.tick(cfg.env.n_envs * T, stats["_barrier"])
@@ -101,23 +128,42 @@ def run_ppo(cfg: RunConfig, logger: MetricLogger):
             logger.log(i, stats)
         if cfg.checkpoint_every and i % cfg.checkpoint_every == 0:
             ckpt.save(i, {"params": params, "opt_state": opt_state,
-                          "iteration": i})
+                          "key": _key_data(key), "iteration": i})
     return params
 
 
-def run_emaml(cfg: RunConfig, logger: MetricLogger):
+def run_emaml(cfg: RunConfig, logger: MetricLogger, resume: bool = False):
+    import os
+    import pickle
+
     table = make_table(cfg.env)
     bank = make_loader(cfg.env).bank()
     agent = build_agent(cfg)
     ecfg = cfg.emaml
     key = jax.random.key(cfg.seed)
     key, ki = jax.random.split(key)
-    st = init_emaml(agent, ecfg, ki)
+    st = init_emaml(agent, ecfg, ki, n_bank_tasks=int(bank.n_tasks))
     step_j = jax.jit(emaml_train_step, static_argnums=(3, 4))
 
     ckpt = Checkpointer(cfg.checkpoint_dir)
+    start = 0
+    if resume:
+        tmpl = {"params": st.params, "opt_state": st.opt_state,
+                "kl_coeffs": st.kl_coeffs, "key": _key_data(key),
+                "tasks_covered": st.tasks_covered,
+                "tasks_succeeded": st.tasks_succeeded, "iteration": 0}
+        restored = ckpt.restore(tmpl)
+        if restored is not None:
+            st = st._replace(
+                params=restored["params"], opt_state=restored["opt_state"],
+                kl_coeffs=restored["kl_coeffs"],
+                tasks_covered=restored["tasks_covered"],
+                tasks_succeeded=restored["tasks_succeeded"])
+            key = _wrap_key(restored["key"])
+            start = int(restored["iteration"]) + 1
+            print(f"resumed from iteration {start - 1}", file=sys.stderr)
     n_envs = ecfg.n_tasks * ecfg.envs_per_task
-    for i in range(cfg.total_iterations):
+    for i in range(start, cfg.total_iterations):
         # fresh task sampling per meta-iteration (emaml.py:349-361)
         key, kt, kr = jax.random.split(key, 3)
         assign = sample_task_assignment(kt, int(bank.n_tasks), ecfg)
@@ -131,19 +177,49 @@ def run_emaml(cfg: RunConfig, logger: MetricLogger):
                          auto_reset=True,
                          dense_reward=cfg.env.dense_reward,
                          augment=cfg.env.augment, opts=opts,
-                         use_pallas=_pallas_enabled(cfg))
+                         use_pallas=_pallas_enabled(cfg),
+                         reset_pool=cfg.env.reset_pool)
         bs = env.reset(kr, n_envs)
         st, bs, metrics = step_j(st, env, bs, agent, ecfg)
+        post_batch = metrics.pop("post_batch")
         # wandb schema keys (train.py:130-150)
         logged = {
             "total_loss": metrics["meta_loss"],
-            "episode_reward_mean_adapt": metrics["adapt_reward_mean"],
-            "episode_reward_mean": metrics["post_reward_mean"],
+            "outer_policy_loss": metrics["outer_policy_loss"],
+            "outer_vf_loss": metrics["outer_vf_loss"],
+            "outer_kl_loss": metrics["outer_kl_loss"],
+            "outer_total_loss": metrics["outer_total_loss"],
+            "adapt_eprewmax": metrics["adapt_reward_max"],
+            "adapt_eprewmean": metrics["adapt_reward_mean"],
+            "adapt_eprewmin": metrics["adapt_reward_min"],
+            "post_eprewmax": metrics["post_eprew_max"],
+            "post_eprewmean": metrics["post_eprew_mean"],
+            "post_eprewmin": metrics["post_eprew_min"],
+            "num_covered_tasks": metrics["num_covered_tasks"],
+            "num_succeed_tasks": metrics["num_succeed_tasks"],
             "kl": metrics["inner_kl_mean"],
         }
         logger.log(i, logged)
+        # successful-batch persistence (train.py:126-128): pickle the
+        # post-adaptation batch of every task that solved this iteration;
+        # the device->host transfer only happens on success
+        success = np.asarray(metrics["once_successful"])
+        if success.any():
+            task_ids = np.asarray(metrics["sampled_tasks"])
+            sdir = os.path.join(cfg.checkpoint_dir, "successful")
+            os.makedirs(sdir, exist_ok=True)
+            for ti in np.nonzero(success)[0]:
+                b = jax.tree.map(lambda x: np.asarray(x[ti]), post_batch)
+                with open(os.path.join(
+                        sdir, f"epoch{i}_{int(task_ids[ti])}.pickle"),
+                        "wb") as fp:
+                    pickle.dump({"task_idx": int(task_ids[ti]),
+                                 "batch": b._asdict()}, fp)
         if cfg.checkpoint_every and i % cfg.checkpoint_every == 0:
-            ckpt.save(i, {"params": st.params, "kl_coeffs": st.kl_coeffs,
+            ckpt.save(i, {"params": st.params, "opt_state": st.opt_state,
+                          "kl_coeffs": st.kl_coeffs, "key": _key_data(key),
+                          "tasks_covered": st.tasks_covered,
+                          "tasks_succeeded": st.tasks_succeeded,
                           "iteration": i})
     return st.params
 
@@ -156,16 +232,23 @@ def main(argv=None):
     ap.add_argument("--n-envs", type=int, default=1024)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dataset", default="synthetic")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="MLP torso compute dtype (bfloat16 = MXU path)")
     ap.add_argument("--log-file", default="train_log.jsonl")
     ap.add_argument("--ckpt-dir", default="./ckpts")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes for a quick end-to-end check")
+    ap.add_argument("--resume", action="store_true",
+                    help="restore the latest checkpoint in --ckpt-dir and "
+                         "continue (the RLlib algo.save/from_checkpoint "
+                         "counterpart)")
     args = ap.parse_args(argv)
 
     if args.smoke:
         cfg = RunConfig(
             seed=args.seed, algo=args.algo, model=args.model,
-            total_iterations=args.iterations, checkpoint_every=0,
+            total_iterations=args.iterations, checkpoint_every=1,
             checkpoint_dir=args.ckpt_dir,
             env=EnvConfig(family="o2arc_crop33", max_trial=7,
                           episode_limit=10, n_envs=32,
@@ -173,19 +256,20 @@ def main(argv=None):
             ppo=PPOConfig(n_epochs=1, n_minibatches=1),
             emaml=EMAMLConfig(n_tasks=2, envs_per_task=4, rollout_steps=10,
                               inner_steps=2, maml_opt_steps=1),
-            mlp_hidden=(128, 64))
+            mlp_hidden=(128, 64), mlp_dtype=args.dtype)
     else:
         cfg = RunConfig(
             seed=args.seed, algo=args.algo, model=args.model,
             total_iterations=args.iterations, checkpoint_dir=args.ckpt_dir,
             env=EnvConfig(family="o2arc_crop33",
-                          n_envs=args.n_envs, dataset=args.dataset))
+                          n_envs=args.n_envs, dataset=args.dataset),
+            mlp_dtype=args.dtype)
     print(cfg.to_json(), file=sys.stderr)
     logger = MetricLogger(args.log_file)
     if cfg.algo == "ppo":
-        run_ppo(cfg, logger)
+        run_ppo(cfg, logger, resume=args.resume)
     else:
-        run_emaml(cfg, logger)
+        run_emaml(cfg, logger, resume=args.resume)
 
 
 if __name__ == "__main__":

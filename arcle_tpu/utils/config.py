@@ -27,6 +27,8 @@ class EnvConfig:
     dense_reward: bool = True       # CustomO2ARCEnv shaping
     augment: bool = True
     use_pallas: str = "auto"        # auto | on | off (megakernel step)
+    reset_pool: int = 8            # K>0: per-rollout pre-drawn auto-reset
+                                    # pool (envs.core.ResetPool); 0 = off
 
 
 @dataclasses.dataclass(frozen=True)
@@ -43,6 +45,9 @@ class RunConfig:
     emaml: EMAMLConfig = dataclasses.field(default_factory=EMAMLConfig)
     gpt: GPTConfig = dataclasses.field(default_factory=GPTConfig)
     mlp_hidden: Tuple[int, ...] = (1024, 1024, 512, 512, 256, 128)
+    # "bfloat16" runs the MLP torso on the MXU in bf16 (params and the
+    # pi/vf heads stay f32); "float32" bit-reproduces the round-1 curve
+    mlp_dtype: str = "float32"
 
     def to_json(self) -> str:
         def enc(o):

@@ -187,3 +187,171 @@ def test_auto_reset_with_legacy_uint32_keys():
     bs2, obs, rew, term, trunc = jax.jit(type(env).step)(env, bs, act)
     assert bool(term.all())
     assert (np.asarray(bs2.env.trials_remain) == 1).all()
+
+
+def test_arcloader_real_corpus_scale(tmp_path):
+    """Reference-scale data path (loader.py:72-87 envelope): a generated
+    ARC-layout corpus with >1000 pairs loads through ARCLoader via
+    ARC_DATA_DIR, bakes to a device TaskBank, and a wide batch gathers
+    tasks correctly on reset."""
+    from arcle_tpu.loaders.synthetic import write_corpus
+
+    n_tasks = 150
+    pairs = write_corpus(str(tmp_path), n_tasks=n_tasks, n_train=6,
+                         n_test=2, seed=13, max_size=20)
+    assert pairs == n_tasks * 8 > 1000
+    loader = ARCLoader(root=str(tmp_path))
+    assert len(loader.data) == n_tasks
+    bank = loader.bank()
+    assert bank.n_pairs == pairs
+    assert bank.n_tasks == n_tasks
+
+    # device gather == host parse for a spread of (task, pair) indices
+    for t in (0, 17, 149):
+        ti, to, ei, eo, _ = loader.data[t]
+        flat = int(bank.train_offset[t])
+        h, w = ti[0].shape
+        np.testing.assert_array_equal(
+            np.asarray(bank.in_grids[flat])[:h, :w], ti[0])
+
+    # a 256-env batch pinned across all tasks resets to the right pairs
+    B = 256
+    prob = jnp.arange(B, dtype=jnp.int32) % n_tasks
+    opts = ResetOptions(
+        prob_index=prob, subprob_index=jnp.zeros((B,), jnp.int32),
+        adaptation=jnp.ones((), bool), reset_on_submit=jnp.zeros((), bool))
+    env = BatchedEnv(table=o2arc_table(max_trial=3), bank=bank, max_trial=3,
+                     episode_limit=10, auto_reset=True, opts=opts)
+    bs = env.reset(jax.random.key(0), B)
+    dims = np.asarray(bs.env.input_dim)
+    for i in (0, 63, 200):
+        t = int(prob[i])
+        np.testing.assert_array_equal(
+            dims[i], np.array(loader.data[t][0][0].shape))
+    # and steps fine at that width
+    act = Action(selection=jnp.zeros((B, 30, 30), jnp.int8),
+                 operation=jnp.full((B,), 0, jnp.int32))
+    bs2, obs, rew, term, trunc = jax.jit(type(env).step)(env, bs, act)
+    assert obs.grid.shape == (B, 30, 30)
+
+
+def test_reset_pool_entries_are_valid_fresh_states():
+    """Pool entries must be exactly what a reset would produce: grid =
+    input masked to dims, zeros outside (base.py:164 semantics)."""
+    from arcle_tpu.loaders import SyntheticLoader
+    env = BatchedEnv(table=o2arc_table(3, crop_at_33=True),
+                     bank=SyntheticLoader(4, seed=1).bank(), max_trial=3,
+                     episode_limit=5, auto_reset=True, augment=True,
+                     reset_pool=4)
+    bs = env.reset(jax.random.key(0), 8)
+    assert bs.pool is not None and bs.pool.grid.shape == (32, 30, 30)
+    g, d = np.asarray(bs.pool.grid), np.asarray(bs.pool.dim)
+    for i in range(32):
+        h, w = int(d[i, 0]), int(d[i, 1])
+        assert 0 < h <= 30 and 0 < w <= 30
+        assert (g[i][h:, :] == 0).all() and (g[i][:, w:] == 0).all()
+
+
+def test_pooled_auto_reset_consumes_pool_entries():
+    """After a pooled auto-reset the env state must equal the consumed
+    pool entry with all transient fields reinitialized."""
+    from arcle_tpu.loaders import SyntheticLoader
+    B, K = 4, 4
+    env = BatchedEnv(table=o2arc_table(3, crop_at_33=True),
+                     bank=SyntheticLoader(4, seed=1).bank(), max_trial=3,
+                     episode_limit=5, auto_reset=True, dense_reward=True,
+                     augment=True, reset_pool=K)
+    bs = env.reset(jax.random.key(0), B)
+    g0, d0 = np.asarray(bs.pool.grid), np.asarray(bs.pool.dim)
+    a0, ad0 = np.asarray(bs.pool.answer), np.asarray(bs.pool.answer_dim)
+    step = jax.jit(BatchedEnv.step)
+    submit = Action(selection=jnp.zeros((B, 30, 30), jnp.int8),
+                    operation=jnp.full((B,), 34, jnp.int32))
+    for _ in range(3):                       # exhaust max_trial=3
+        bs, obs, rew, te, tr = step(env, bs, submit)
+    assert np.asarray(te | tr).all()
+    ctr = np.asarray(bs.pool.counter)
+    assert (ctr == 1).all()
+    eg, ei = np.asarray(bs.env.grid), np.asarray(bs.env.input)
+    ea, ed = np.asarray(bs.env.answer), np.asarray(bs.env.grid_dim)
+    ead = np.asarray(bs.env.answer_dim)
+    for i in range(B):
+        j = i * K + (ctr[i] - 1) % K
+        assert (eg[i] == g0[j]).all() and (ei[i] == g0[j]).all()
+        assert (ea[i] == a0[j]).all() and (ed[i] == d0[j]).all()
+        assert (ead[i] == ad0[j]).all()
+    assert np.asarray(bs.env.trials_remain).tolist() == [3] * B
+    assert np.asarray(bs.env.steps).tolist() == [0] * B
+    assert np.asarray(bs.env.active).tolist() == [0] * B
+    # counters wrap modulo K without error
+    for _ in range(3 * (K + 1)):
+        bs, obs, rew, te, tr = step(env, bs, submit)
+    assert (np.asarray(bs.pool.counter) == K + 2).all()
+
+
+def test_pooled_rollout_refreshes_pool_and_trains():
+    """rollout() must refresh the pool per call and ride it through the
+    scan; the resulting trajectory feeds train_step unchanged."""
+    from arcle_tpu.loaders import SyntheticLoader
+    from arcle_tpu.models.mlp import FCPolicy
+    from arcle_tpu.training.agents import mlp_agent
+    from arcle_tpu.training.rollout import rollout
+    from arcle_tpu.training.ppo import (
+        PPOConfig, batch_from_trajectory, train_step, make_optimizer)
+
+    B = 4
+    ag = mlp_agent(FCPolicy(hidden=(16,), n_ops=35))
+    env = BatchedEnv(table=o2arc_table(127, crop_at_33=True),
+                     bank=SyntheticLoader(4, seed=1).bank(), max_trial=127,
+                     episode_limit=8, auto_reset=True, dense_reward=True,
+                     augment=True, reset_pool=4)
+    bs = env.reset(jax.random.key(5), B)
+    params = ag.init_fn(jax.random.key(1), ag.obs_fn(
+        jax.tree.map(lambda x: x[:1], bs.env)))
+    roll_j = jax.jit(rollout, static_argnums=(4, 5))
+    bs3, traj, lv = roll_j(env, bs, params, jax.random.key(2), 20, ag)
+    assert int(np.asarray(traj.dones).sum()) > 0
+    assert np.asarray(bs3.pool.counter).sum() > 0
+    cfg = PPOConfig()
+    batch = batch_from_trajectory(traj, lv, cfg)
+    tx = make_optimizer(cfg)
+    p2, o2, stats = jax.jit(train_step, static_argnums=(4, 5, 6))(
+        params, tx.init(params), batch, jax.random.key(3), ag, tx, cfg)
+    assert np.isfinite(float(stats["total_loss"]))
+
+
+def test_pooled_reset_respects_task_pinning():
+    """Per-env pinned ResetOptions rows must carry into each env slot's
+    pool segment (the E-MAML task-pinning contract)."""
+    from arcle_tpu.loaders import SyntheticLoader
+    bank = SyntheticLoader(6, seed=2).bank()
+    pins = jnp.asarray([0, 3, 5, 1], jnp.int32)
+    opts = ResetOptions(prob_index=pins,
+                        subprob_index=jnp.full_like(pins, -1),
+                        adaptation=jnp.ones((), bool),
+                        reset_on_submit=jnp.zeros((), bool))
+    env = BatchedEnv(table=o2arc_table(3, crop_at_33=True), bank=bank,
+                     max_trial=3, episode_limit=5, auto_reset=True,
+                     augment=False, reset_pool=3, opts=opts)
+    bs = env.reset(jax.random.key(0), 4)
+    g, d = np.asarray(bs.pool.grid), np.asarray(bs.pool.dim)
+    # without augmentation each pool grid must equal one of its pinned
+    # task's pair inputs (masked to dims)
+    ig = np.asarray(bank.in_grids)
+    idim = np.asarray(bank.in_dims)
+    starts = np.asarray(bank.train_offset)
+    counts = np.asarray(bank.train_count)
+    for i, t in enumerate(np.asarray(pins)):
+        lo = int(starts[t])
+        hi = lo + int(counts[t])
+        for j in range(3):
+            row = g[i * 3 + j]
+            ok = False
+            for p in range(lo, hi):
+                h, w = int(idim[p, 0]), int(idim[p, 1])
+                masked = np.zeros_like(ig[p])
+                masked[:h, :w] = ig[p][:h, :w]
+                if (row == masked).all():
+                    ok = True
+                    break
+            assert ok, (i, j)
