@@ -40,6 +40,11 @@ class GPTConfig:
     attn_pdrop: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = True          # rematerialize blocks (long sequences)
+    attn_chunk: int = 512       # streaming-attention key-chunk size; the
+                                # per-chunk score tensor is
+                                # [B, H, T, attn_chunk] f32 — shrink for
+                                # large-batch training (e.g. 256 for the
+                                # E-MAML 100-sample task batches)
 
     @property
     def num_pixel(self) -> int:
@@ -128,7 +133,7 @@ class SelfAttention(nn.Module):
         if T >= 1024:
             # streaming path (no dropout inside attention probabilities;
             # reference uses attn_pdrop=0.1 but PPO runs deterministic)
-            y = _streaming_attention(q, k, v, pad_mask)
+            y = _streaming_attention(q, k, v, pad_mask, chunk=c.attn_chunk)
         else:
             att = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                              preferred_element_type=jnp.float32)

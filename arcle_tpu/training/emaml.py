@@ -27,6 +27,7 @@ arrays — see the axon rule in envs/core.py).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -54,6 +55,20 @@ class EMAMLConfig:
     weight_decay: float = 1e-5      # AdamW meta-opt (emaml_policy.py:330-339)
     first_order: bool = False
     kl_target: float = 0.01         # inner_adaptation_kl_target
+    n_micro: int = 1                # >1: every per-task batch evaluation
+                                    # (inner grads, KL terms, outer PPO
+                                    # loss) runs as a gradient-accumulation
+                                    # scan over n_micro micro-batches, each
+                                    # under jax.checkpoint — bounds
+                                    # activation memory to one micro-batch
+                                    # (needed for the 1837-token GPT at the
+                                    # reference's 100-sample task batches)
+    chunked: bool = False           # host-orchestrated step (short jitted
+                                    # units instead of one fused program;
+                                    # see make_chunked_train_step) — needed
+                                    # on axon, whose relay kills single XLA
+                                    # executions over ~1 minute; requires
+                                    # first_order=True
     ppo: PPOConfig = dataclasses.field(default_factory=PPOConfig)
 
 
@@ -86,12 +101,74 @@ def init_emaml(agent: Agent, cfg: EMAMLConfig, key: jax.Array,
         tasks_succeeded=jnp.zeros((n_bank_tasks,), jnp.int32))
 
 
+def _microbatches(batch, n: int):
+    """[N, ...] leaves -> [n, N//n, ...] for a scan over micro-batches."""
+    return jax.tree.map(
+        lambda x: x.reshape((n, x.shape[0] // n) + x.shape[1:]), batch)
+
+
+def _accumulated(fn, init, batch, n: int):
+    """``mean_over_micros(fn(micro))`` as a scan with per-micro
+    ``jax.checkpoint``: the backward recomputes one micro-batch at a time,
+    so activation memory never exceeds a single micro-batch's footprint."""
+    fn_ck = jax.checkpoint(fn)
+
+    def body(acc, mb):
+        out = fn_ck(mb)
+        return jax.tree.map(jnp.add, acc, out), None
+
+    acc, _ = jax.lax.scan(body, init, _microbatches(batch, n))
+    return jax.tree.map(lambda x: x / n, acc)
+
+
+def _surrogate_grads(params, batch: PPOBatch, cfg: EMAMLConfig,
+                     agent: Agent):
+    if cfg.n_micro <= 1:
+        return jax.grad(surrogate_loss)(params, agent, batch, cfg.ppo)
+    return _accumulated(
+        lambda mb: jax.grad(surrogate_loss)(params, agent, mb, cfg.ppo),
+        jax.tree.map(jnp.zeros_like, params), batch, cfg.n_micro)
+
+
 def _inner_update(params, batch: PPOBatch, cfg: EMAMLConfig, agent: Agent):
     """One differentiable inner SGD step on the unclipped surrogate."""
-    grads = jax.grad(surrogate_loss)(params, agent, batch, cfg.ppo)
+    grads = _surrogate_grads(params, batch, cfg, agent)
     if cfg.first_order:
         grads = jax.lax.stop_gradient(grads)
     return jax.tree.map(lambda p, g: p - cfg.inner_lr * g, params, grads)
+
+
+def _batch_kl(params, batch: PPOBatch, cfg: EMAMLConfig, agent: Agent):
+    """mean(old_logp - logp) under the inner-step KL ladder, micro-batched
+    when configured."""
+    def kl_of(mb):
+        lp, _, _ = agent.evaluate_fn(params, mb.obs, mb.actions)
+        return (mb.log_probs - lp).mean()
+
+    if cfg.n_micro <= 1:
+        return kl_of(batch)
+    return _accumulated(kl_of, jnp.float32(0), batch, cfg.n_micro)
+
+
+def _outer_ppo_loss(params, batch: PPOBatch, cfg: EMAMLConfig,
+                    agent: Agent):
+    """Clipped PPO loss (+stats), micro-batched when configured.  Every
+    stat is a batch mean, so the micro mean-of-means is exact.  The aux
+    losses normalize by a batch-global valid count and are therefore not
+    micro-decomposable — guarded at config time."""
+    if cfg.n_micro <= 1:
+        return ppo_loss(params, agent, batch, cfg.ppo)
+    if cfg.ppo.aux_coeff > 0.0:
+        raise ValueError("aux_coeff > 0 is not supported with n_micro > 1 "
+                         "(global-denominator aux losses don't decompose "
+                         "over micro-batches)")
+    shapes = jax.eval_shape(
+        lambda mb: ppo_loss(params, agent, mb, cfg.ppo),
+        jax.tree.map(lambda x: x[0], _microbatches(batch, cfg.n_micro)))
+    zeros = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    return _accumulated(
+        lambda mb: ppo_loss(params, agent, mb, cfg.ppo),
+        zeros, batch, cfg.n_micro)
 
 
 def sample_task_assignment(key: jax.Array, n_bank_tasks: int,
@@ -103,6 +180,41 @@ def sample_task_assignment(key: jax.Array, n_bank_tasks: int,
     return jnp.repeat(tasks, cfg.envs_per_task).astype(jnp.int32)
 
 
+def _reshape_task(x, T: int):
+    # (T, -1): env leaves are [T*E, ...] -> (T, E, ...); ResetPool
+    # leaves are [T*E*K, ...] -> (T, E*K, ...) — task segments stay
+    # contiguous either way, so per-task slot indexing is preserved
+    return x.reshape((T, -1) + x.shape[1:])
+
+
+def _flatten_task(x):
+    return x.reshape((-1,) + x.shape[2:])
+
+
+def task_rollout(env: BatchedEnv, bs_flat, task_params, key,
+                 agent: Agent, cfg: EMAMLConfig, deterministic: bool):
+    """Per-task rollout with per-task params: vmap over the task axis.
+    The env's per-env reset options (task pinning) are sliced per task
+    alongside the batch."""
+    T = cfg.n_tasks
+    bs_t = jax.tree.map(lambda x: _reshape_task(x, T), bs_flat)
+    opts_t = jax.tree.map(
+        lambda x: _reshape_task(x, T) if jnp.ndim(x) > 0 else x, env.opts)
+    opts_axes = jax.tree.map(
+        lambda x: 0 if jnp.ndim(x) > 1 else None, opts_t)
+
+    def one(bs_task, params_task, k, opts_task):
+        env_task = dataclasses.replace(env, opts=opts_task)
+        return rollout(env_task, bs_task, params_task, k,
+                       cfg.rollout_steps, agent, deterministic)
+
+    keys = jax.random.split(key, T)
+    bs_t, traj, last_v = jax.vmap(
+        one, in_axes=(0, 0, 0, opts_axes))(bs_t, task_params, keys,
+                                           opts_t)
+    return jax.tree.map(_flatten_task, bs_t), traj, last_v
+
+
 def emaml_train_step(state: EMAMLState, env: BatchedEnv, bs: BatchedState,
                      agent: Agent, cfg: EMAMLConfig):
     """One full EMAML.training_step (emaml.py:346-527).
@@ -111,38 +223,7 @@ def emaml_train_step(state: EMAMLState, env: BatchedEnv, bs: BatchedState,
     task assignment and ``adaptation=True``; batch = n_tasks*envs_per_task.
     Returns (new_state, bs, metrics).
     """
-    T, E = cfg.n_tasks, cfg.envs_per_task
-
-    def reshape_task(x):
-        # (T, -1): env leaves are [T*E, ...] -> (T, E, ...); ResetPool
-        # leaves are [T*E*K, ...] -> (T, E*K, ...) — task segments stay
-        # contiguous either way, so per-task slot indexing is preserved
-        return x.reshape((T, -1) + x.shape[1:])
-
-    def flatten_task(x):
-        return x.reshape((-1,) + x.shape[2:])
-
-    def task_rollout(bs_flat, task_params, key, deterministic):
-        """Per-task rollout with per-task params: vmap over the task axis.
-        The env's per-env reset options (task pinning) are sliced per task
-        alongside the batch."""
-        bs_t = jax.tree.map(reshape_task, bs_flat)
-        opts_t = jax.tree.map(
-            lambda x: reshape_task(x) if jnp.ndim(x) > 0 else x, env.opts)
-        opts_axes = jax.tree.map(
-            lambda x: 0 if jnp.ndim(x) > 1 else None, opts_t)
-
-        def one(bs_task, params_task, k, opts_task):
-            env_task = dataclasses.replace(env, opts=opts_task)
-            return rollout(env_task, bs_task, params_task, k,
-                           cfg.rollout_steps, agent, deterministic)
-
-        keys = jax.random.split(key, T)
-        bs_t, traj, last_v = jax.vmap(
-            one, in_axes=(0, 0, 0, opts_axes))(bs_t, task_params, keys,
-                                               opts_t)
-        return jax.tree.map(flatten_task, bs_t), traj, last_v
-
+    T = cfg.n_tasks
     key = state.key
     params0 = state.params
     broadcast = lambda p: jax.tree.map(
@@ -152,7 +233,8 @@ def emaml_train_step(state: EMAMLState, env: BatchedEnv, bs: BatchedState,
     def inner(carry, _):
         task_params, bs, key = carry
         key, kr = jax.random.split(key)
-        bs, traj, last_v = task_rollout(bs, task_params, kr, False)
+        bs, traj, last_v = task_rollout(env, bs, task_params, kr, agent,
+                                        cfg, False)
         batch = jax.vmap(batch_from_trajectory, in_axes=(0, 0, None))(
             traj, last_v, cfg.ppo)
         new_params = jax.vmap(
@@ -165,7 +247,8 @@ def emaml_train_step(state: EMAMLState, env: BatchedEnv, bs: BatchedState,
 
     # ---- post-adaptation rollouts, explore=False (emaml.py:410-423) ----
     key, kp = jax.random.split(key)
-    bs, post_traj, post_last_v = task_rollout(bs, adapted, kp, True)
+    bs, post_traj, post_last_v = task_rollout(env, bs, adapted, kp, agent,
+                                              cfg, True)
     post_batch = jax.vmap(batch_from_trajectory, in_axes=(0, 0, None))(
         post_traj, post_last_v, cfg.ppo)
 
@@ -175,17 +258,21 @@ def emaml_train_step(state: EMAMLState, env: BatchedEnv, bs: BatchedState,
             tb = jax.tree.map(lambda x: x[:, task_idx], inner_batches)
             pb = jax.tree.map(lambda x: x[task_idx], post_batch)
 
+            # jax.checkpoint on the chain body: the differentiated replay
+            # scan then stores only per-step params (MBs), recomputing each
+            # step's transformer passes in the backward — without it the
+            # scan saves every step's activations (OOM at 8L/1837 tokens
+            # x 20 inner steps)
+            @jax.checkpoint
             def chain(p, step_batch):
                 # inner-step KL term (KLCoeffMixin ladder); scanned so the
                 # replay graph stays one body regardless of inner_steps
-                lp, _, _ = agent.evaluate_fn(p, step_batch.obs,
-                                             step_batch.actions)
-                kl = (step_batch.log_probs - lp).mean()
+                kl = _batch_kl(p, step_batch, cfg, agent)
                 p2 = _inner_update(p, step_batch, cfg, agent)
                 return p2, kl
 
             p, kls = jax.lax.scan(chain, params, tb)
-            loss, stats = ppo_loss(p, agent, pb, cfg.ppo)
+            loss, stats = _outer_ppo_loss(p, pb, cfg, agent)
             kl_pen = jnp.sum(state.kl_coeffs[task_idx] * kls)
             return loss + kl_pen, (kls, stats)
 
@@ -210,6 +297,20 @@ def emaml_train_step(state: EMAMLState, env: BatchedEnv, bs: BatchedState,
     inner_kls = jax.tree.map(lambda x: x[-1], aux_seq[0])
     outer_stats = jax.tree.map(lambda x: x[-1], aux_seq[1])
 
+    new_state, metrics = _finish_step(
+        state, env, cfg, params, opt_state, key, loss, inner_kls,
+        outer_stats, inner_rews, post_traj.rewards, post_batch)
+    return new_state, bs, metrics
+
+
+def _finish_step(state: EMAMLState, env: BatchedEnv, cfg: EMAMLConfig,
+                 params, opt_state, key, loss, inner_kls, outer_stats,
+                 inner_rews, post_rewards, post_batch):
+    """KL-ladder update, success bookkeeping and the wandb-schema metrics
+    shared by the fused and host-chunked steps.  ``post_rewards`` is the
+    post-adaptation trajectory's [T, steps, E] reward tensor."""
+    T = cfg.n_tasks
+
     # ---- inner KL coefficient ladder (emaml_policy.py:284-299) ----
     kc = state.kl_coeffs
     kc = jnp.where(inner_kls > 2.0 * cfg.kl_target, kc * 1.5, kc)
@@ -220,10 +321,10 @@ def emaml_train_step(state: EMAMLState, env: BatchedEnv, bs: BatchedState,
     # positive reward (rewards.max() > 0 in the reference; with the dense
     # shaping 100*sparse - 1 + frac this is equivalent to a sparse solve)
     if jnp.ndim(env.opts.prob_index) > 0:
-        task_ids = reshape_task(env.opts.prob_index)[:, 0]  # i32 [T]
+        task_ids = _reshape_task(env.opts.prob_index, T)[:, 0]  # i32 [T]
     else:                               # unpinned opts: degenerate slot 0
         task_ids = jnp.zeros((T,), jnp.int32)
-    task_success = post_traj.rewards.max(axis=(1, 2)) > 0.0
+    task_success = post_rewards.max(axis=(1, 2)) > 0.0
     covered = state.tasks_covered.at[task_ids].add(1)
     succeeded = state.tasks_succeeded.at[task_ids].add(
         task_success.astype(jnp.int32))
@@ -232,7 +333,7 @@ def emaml_train_step(state: EMAMLState, env: BatchedEnv, bs: BatchedState,
     # (train.py:130-150: adapt/post eprew max/mean/min); episodes are
     # approximated by per-env rollout sums, as RLlib's episode_reward_*
     # aggregates completed episodes per phase
-    post_ep = post_traj.rewards.sum(axis=1)              # [T, E] per-env sum
+    post_ep = post_rewards.sum(axis=1)              # [T, E] per-env sum
     metrics = {
         "meta_loss": loss,
         "outer_policy_loss": outer_stats["policy_loss"],
@@ -242,8 +343,8 @@ def emaml_train_step(state: EMAMLState, env: BatchedEnv, bs: BatchedState,
         "adapt_reward_mean": inner_rews.mean(),
         "adapt_reward_max": inner_rews.max(),
         "adapt_reward_min": inner_rews.min(),
-        "post_reward_mean": post_traj.rewards.mean(),
-        "post_reward_per_task": post_traj.rewards.mean(axis=(1, 2)),
+        "post_reward_mean": post_rewards.mean(),
+        "post_reward_per_task": post_rewards.mean(axis=(1, 2)),
         "post_eprew_mean": post_ep.mean(),
         "post_eprew_max": post_ep.max(),
         "post_eprew_min": post_ep.min(),
@@ -260,4 +361,160 @@ def emaml_train_step(state: EMAMLState, env: BatchedEnv, bs: BatchedState,
     new_state = EMAMLState(params=params, opt_state=opt_state,
                            kl_coeffs=kc, key=key,
                            tasks_covered=covered, tasks_succeeded=succeeded)
-    return new_state, bs, metrics
+    return new_state, metrics
+
+
+def make_chunked_train_step(agent: Agent, cfg: EMAMLConfig):
+    """Host-orchestrated E-MAML train step for large models.
+
+    The axon TPU relay kills any single XLA execution that runs longer
+    than roughly a minute (measured with a synthetic kernel: ~15 s
+    executions pass, ~80 s reproducibly crash the worker).  The fused
+    :func:`emaml_train_step` for the 8L/16H/128E GPT at the reference
+    envelope (20 inner steps x 5 meta-opt steps over 1837-token
+    sequences, train_gpt.py:46-80) is a single multi-minute program, so
+    this factory re-expresses the SAME algorithm as a host loop over
+    short jitted units (~1 s each at GPT scale):
+
+      * one jitted inner-adaptation step (per-task rollout + inner SGD),
+        called ``inner_steps`` times;
+      * one jitted post-adaptation rollout (explore=False);
+      * per meta-opt step: ``inner_steps`` jitted chain-replay steps that
+        accumulate the KL-ladder gradient, then one jitted outer PPO
+        gradient + AdamW update.
+
+    Requires ``first_order=True``: with FOMAML the replayed chain's
+    Jacobian ``d p_final / d p_0`` is the identity (each update subtracts
+    a stop-gradiented inner gradient), so the meta gradient decomposes
+    exactly into per-inner-step KL-term gradients evaluated at the
+    replayed parameters plus the outer-loss gradient at the final
+    parameters — each a short, independently jittable program.  Numerics
+    match the fused step bit-for-bit up to float reassociation
+    (tests/test_training.py::test_emaml_chunked_matches_fused).
+
+    Returns ``step(state, env, bs) -> (new_state, bs, metrics)`` with the
+    same contract as :func:`emaml_train_step`.
+    """
+    if not cfg.first_order:
+        raise ValueError(
+            "make_chunked_train_step requires first_order=True: the "
+            "host-decomposed meta gradient relies on the FOMAML identity "
+            "chain (second-order MAML needs the fused emaml_train_step)")
+    T = cfg.n_tasks
+    tx = make_meta_optimizer(cfg)
+
+    def broadcast(p):
+        return jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (T,) + x.shape), p)
+
+    # the rollout and the inner update are separate jitted units: each
+    # TPU compile through the axon tunnel is slow and a single unit
+    # covering both (3 transformer instances in the scan body + the
+    # micro-batched fwd+bwd) wedged the remote compiler at GPT scale
+    @functools.partial(jax.jit, static_argnums=4)
+    def rollout_unit(task_params, bs, k, env, deterministic):
+        bs, traj, last_v = task_rollout(env, bs, task_params, k, agent,
+                                        cfg, deterministic)
+        batch = jax.vmap(batch_from_trajectory, in_axes=(0, 0, None))(
+            traj, last_v, cfg.ppo)
+        return bs, batch, traj.rewards
+
+    @jax.jit
+    def update_unit(task_params, batch):
+        return jax.vmap(
+            lambda p, b: _inner_update(p, b, cfg, agent))(task_params,
+                                                          batch)
+
+    @jax.jit
+    def chain_step(p, acc, tb, klc_i):
+        """Replay one inner step at [T]-stacked params; accumulate the
+        KL-ladder gradient klc_i * d kl_i / d p_i into ``acc``."""
+        def one(p_t, tb_t):
+            kl, gkl = jax.value_and_grad(_batch_kl)(p_t, tb_t, cfg, agent)
+            g = _surrogate_grads(p_t, tb_t, cfg, agent)
+            p2 = jax.tree.map(lambda a, b: a - cfg.inner_lr * b, p_t, g)
+            return p2, kl, gkl
+
+        p2, kls, gkls = jax.vmap(one)(p, tb)
+        acc2 = jax.tree.map(
+            lambda a, g: a + klc_i.reshape((T,) + (1,) * (g.ndim - 1)) * g,
+            acc, gkls)
+        return p2, acc2, kls
+
+    @jax.jit
+    def outer_update(p_final, acc, pb, kl_pens, params, opt_state):
+        """Outer PPO gradient at the replayed final params, combined with
+        the accumulated KL-ladder gradients, then one AdamW step."""
+        def one(p_t, pb_t):
+            return jax.value_and_grad(
+                lambda p: _outer_ppo_loss(p, pb_t, cfg, agent),
+                has_aux=True)(p_t)
+
+        (losses, stats), gout = jax.vmap(one)(p_final, pb)
+        grads = jax.tree.map(lambda go, a: (go + a).mean(axis=0),
+                             gout, acc)
+        loss = (losses + kl_pens).mean()
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, jax.tree.map(jnp.mean, stats)
+
+    seen = set()
+
+    def _mark(name):
+        # first-call = compile through the (slow) remote tunnel; make the
+        # driver's progress visible instead of minutes of silence
+        if name not in seen:
+            seen.add(name)
+            import sys as _sys
+            import time as _time
+            print(f"[emaml-chunked] compiling {name} "
+                  f"({_time.strftime('%H:%M:%S')})", file=_sys.stderr,
+                  flush=True)
+
+    def step(state: EMAMLState, env: BatchedEnv, bs: BatchedState):
+        key = state.key
+        params = state.params
+
+        # ---- inner adaptation (emaml.py:367-401) ----
+        task_params = broadcast(params)
+        inner_batches, inner_rews = [], []
+        for _ in range(cfg.inner_steps):
+            key, kr = jax.random.split(key)
+            _mark("rollout_unit")
+            bs, batch, rews = rollout_unit(task_params, bs, kr, env, False)
+            _mark("update_unit")
+            task_params = update_unit(task_params, batch)
+            inner_batches.append(batch)
+            inner_rews.append(rews.mean(axis=(1, 2)))
+        inner_rews = jnp.stack(inner_rews)          # [S, T]
+
+        # ---- post-adaptation rollouts, explore=False ----
+        key, kp = jax.random.split(key)
+        _mark("rollout_unit[deterministic]")
+        bs, post_batch, post_rewards = rollout_unit(task_params, bs, kp,
+                                                    env, True)
+
+        # ---- meta-opt loop: replayed FOMAML chain, decomposed ----
+        opt_state = state.opt_state
+        zero_acc = jax.tree.map(
+            lambda x: jnp.zeros((T,) + x.shape, x.dtype), params)
+        for _opt in range(cfg.maml_opt_steps):
+            p = broadcast(params)
+            acc = zero_acc
+            kls = []
+            for i, tb in enumerate(inner_batches):
+                _mark("chain_step")
+                p, acc, kl = chain_step(p, acc, tb, state.kl_coeffs[:, i])
+                kls.append(kl)
+            inner_kls = jnp.stack(kls, axis=1)      # [T, S]
+            kl_pens = jnp.sum(state.kl_coeffs * inner_kls, axis=1)
+            _mark("outer_update")
+            params, opt_state, loss, outer_stats = outer_update(
+                p, acc, post_batch, kl_pens, params, opt_state)
+
+        new_state, metrics = _finish_step(
+            state, env, cfg, params, opt_state, key, loss, inner_kls,
+            outer_stats, inner_rews, post_rewards, post_batch)
+        return new_state, bs, metrics
+
+    return step

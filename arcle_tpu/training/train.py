@@ -28,7 +28,8 @@ from ..utils.checkpoint import Checkpointer
 from .agents import mlp_agent
 from .ppo import PPOConfig, batch_from_trajectory, make_optimizer, train_step
 from .emaml import (
-    EMAMLConfig, init_emaml, emaml_train_step, sample_task_assignment,
+    EMAMLConfig, init_emaml, emaml_train_step, make_chunked_train_step,
+    sample_task_assignment,
 )
 from .rollout import rollout
 
@@ -143,7 +144,14 @@ def run_emaml(cfg: RunConfig, logger: MetricLogger, resume: bool = False):
     key = jax.random.key(cfg.seed)
     key, ki = jax.random.split(key)
     st = init_emaml(agent, ecfg, ki, n_bank_tasks=int(bank.n_tasks))
-    step_j = jax.jit(emaml_train_step, static_argnums=(3, 4))
+    if ecfg.chunked:
+        # host-orchestrated step: short jitted units (~1 s each) instead
+        # of one fused multi-minute program, which the axon relay would
+        # kill — the GPT-scale path (see make_chunked_train_step)
+        chunked_step = make_chunked_train_step(agent, ecfg)
+        step_j = lambda st, env, bs, _agent, _cfg: chunked_step(st, env, bs)
+    else:
+        step_j = jax.jit(emaml_train_step, static_argnums=(3, 4))
 
     ckpt = Checkpointer(cfg.checkpoint_dir)
     start = 0

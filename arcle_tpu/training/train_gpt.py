@@ -37,7 +37,7 @@ def main(argv=None):
                          "0 = off (shipped-reference parity)")
     args = ap.parse_args(argv)
 
-    gpt = GPTConfig() if not args.smoke else GPTConfig(
+    gpt = GPTConfig(attn_chunk=256) if not args.smoke else GPTConfig(
         n_layer=2, n_head=4, n_embd=32)
     cfg = RunConfig(
         seed=args.seed, algo=args.algo, model="gpt",
@@ -66,6 +66,12 @@ def main(argv=None):
             inner_steps=1 if args.smoke else 20,
             maml_opt_steps=1 if args.smoke else 5,
             first_order=True,
+            # 25-sample micro-batches bound the replay's activation
+            # memory (see EMAMLConfig.n_micro)
+            n_micro=1 if args.smoke else 4,
+            # host-chunked step: the fused program would run minutes on
+            # device and the axon relay kills executions over ~1 min
+            chunked=not args.smoke,
             ppo=PPOConfig(vf_coeff=0.5, aux_coeff=args.aux_coeff)),
         gpt=gpt)
     print(cfg.to_json(), file=sys.stderr)

@@ -295,6 +295,64 @@ def bench_baseline_configs(steps: int) -> dict:
     return out
 
 
+def bench_train_loop(batch: int, steps: int, iters: int = 3) -> float:
+    """The BASELINE north-star configuration: B lockstep O2ARC envs with
+    dense reward + augmentation *feeding a PPO learner* — one fused jitted
+    iteration (rollout with the MLP policy + GAE + full-batch update),
+    exactly what run_ppo executes.  Returns env-steps/s including the
+    learner."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    from arcle_tpu.envs import BatchedEnv
+    from arcle_tpu.loaders import SyntheticLoader
+    from arcle_tpu.ops import o2arc_table
+    from arcle_tpu.models.mlp import FCPolicy
+    from arcle_tpu.training.agents import mlp_agent
+    from arcle_tpu.training.ppo import (
+        PPOConfig, batch_from_trajectory, make_optimizer, train_step)
+    from arcle_tpu.training.rollout import rollout
+
+    use_pallas = jax.devices()[0].platform == "tpu" and batch % 64 == 0
+    env = BatchedEnv(table=o2arc_table(127, crop_at_33=True),
+                     bank=SyntheticLoader(32, seed=7).bank(), max_trial=127,
+                     episode_limit=100, auto_reset=True, dense_reward=True,
+                     augment=True, use_pallas=use_pallas, reset_pool=8)
+    agent = mlp_agent(FCPolicy(hidden=(1024, 1024, 512, 512, 256, 128),
+                               n_ops=env.table.n_ops))
+    cfg = PPOConfig()
+    key = jax.random.key(0)
+    key, ki, kr = jax.random.split(key, 3)
+    bs = env.reset(kr, batch)
+    params = agent.init_fn(ki, agent.obs_fn(
+        jax.tree.map(lambda x: x[:1], bs.env)))
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+
+    def iteration(env, bs, params, opt_state, key):
+        key, kroll, ktrain = jax.random.split(key, 3)
+        bs, traj, last_v = rollout(env, bs, params, kroll, steps, agent)
+        batch_ = batch_from_trajectory(traj, last_v, cfg)
+        params, opt_state, stats = train_step(
+            params, opt_state, batch_, ktrain, agent, tx, cfg)
+        return bs, params, opt_state, key, stats["total_loss"] + 0.0
+
+    it_j = jax.jit(iteration)
+    out = it_j(env, bs, params, opt_state, key)
+    _ = float(out[-1])                  # compile + readback barrier
+    best = 1e9
+    for _i in range(iters):
+        t0 = _time.perf_counter()
+        out = it_j(env, bs, out[1], out[2], out[3])
+        _ = float(out[-1])
+        best = min(best, _time.perf_counter() - t0)
+    rate = batch * steps / best
+    log(f"ppo train loop: {best * 1e3:.1f} ms/iter -> {rate:,.0f} "
+        f"env-steps/s incl. learner")
+    return rate
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4096)
@@ -339,6 +397,12 @@ def main():
             result["configs"] = bench_baseline_configs(min(args.steps, 100))
         except Exception as e:  # pragma: no cover
             log(f"baseline-config sweep failed: {e}")
+        try:
+            # the BASELINE north star: envs *feeding a PPO learner*
+            result["ppo_train_loop_steps_per_s"] = round(
+                bench_train_loop(args.batch, args.steps))
+        except Exception as e:  # pragma: no cover
+            log(f"train-loop bench failed: {e}")
     print(json.dumps(result))
 
 

@@ -52,30 +52,57 @@ def test_sharded_env_step_matches_single_device():
     assert len(out2[0].env.grid.sharding.device_set) == 8
 
 
-def test_scaling_efficiency_smoke():
-    """Throughput harness shape: same per-device batch, more devices —
-    just checks the sharded rollout runs and returns finite numbers on the
-    virtual mesh (true scaling measured on real hardware by bench)."""
+def _rollout_compiled(mesh, B, sharded):
     from arcle_tpu.training import mlp_agent, rollout
     from arcle_tpu.models import FCPolicy
 
-    mesh = make_mesh((8,), ("data",))
     env = BatchedEnv(table=o2arc_table(max_trial=3),
                      bank=SyntheticLoader(4, seed=1).bank(), max_trial=3,
                      episode_limit=10, auto_reset=True)
     agent = mlp_agent(FCPolicy(hidden=(32,), n_ops=35))
-    B = 16
     bs = env.reset(jax.random.key(0), B)
     params = agent.init_fn(jax.random.key(1),
                            agent.obs_fn(jax.tree.map(lambda x: x[:1],
                                                      bs.env)))
-    bs = shard_leading(bs, mesh, "data")
-    params = replicate(params, mesh)
+    if sharded:
+        bs = shard_leading(bs, mesh, "data")
+        params = replicate(params, mesh)
+    fn = jax.jit(rollout, static_argnums=(4, 5))
     with mesh:
-        bs, traj, last_v = jax.jit(
-            rollout, static_argnums=(4, 5))(env, bs, params,
-                                            jax.random.key(2), 5, agent)
+        compiled = fn.lower(env, bs, params, jax.random.key(2), 5,
+                            agent).compile()
+        out = fn(env, bs, params, jax.random.key(2), 5, agent)
+    return compiled, out
+
+
+def _flops(compiled):
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca["flops"])
+
+
+def test_scaling_efficiency_sharded_cost():
+    """A sharding regression that silently replicates the env batch would
+    leave every device stepping all B envs.  Guard: the per-device compiled
+    cost of the 8-way-sharded rollout must be well under the single-module
+    cost of the unsharded one (ideally ~1/8), and the stepped carry and
+    trajectory must actually live distributed across all 8 devices."""
+    mesh = make_mesh((8,), ("data",))
+    B = 32
+    comp_u, _ = _rollout_compiled(mesh, B, sharded=False)
+    comp_s, (bs, traj, last_v) = _rollout_compiled(mesh, B, sharded=True)
+    flops_u, flops_s = _flops(comp_u), _flops(comp_s)
+    # cost_analysis reports the per-device SPMD module; allow generous
+    # slack over the ideal 1/8 for collective/bookkeeping overhead
+    assert flops_s < flops_u * 0.5, (flops_s, flops_u)
     assert np.isfinite(np.asarray(traj.rewards)).all()
+    assert len(bs.env.grid.sharding.device_set) == 8, bs.env.grid.sharding
+    assert len(traj.obs.sharding.device_set) == 8, traj.obs.sharding
+    # per-device shards really are B/8 rows (no replication): addressable
+    # shard of the trajectory covers only its slice of the batch axis
+    shard_rows = {s.data.shape[1] for s in traj.obs.addressable_shards}
+    assert shard_rows == {B // 8}, shard_rows
 
 
 def test_graft_entry_points():

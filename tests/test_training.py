@@ -391,3 +391,96 @@ def test_hypermlp_forward():
     params = m.init(jax.random.key(0), x)
     y = m.apply(params, x)
     assert y.shape == (3, 4)
+
+
+def test_emaml_micro_batching_matches_full_batch():
+    """n_micro>1 must be numerically equivalent to the full-batch path
+    (gradient accumulation is exact: every accumulated term is a mean)."""
+    from arcle_tpu.envs.core import ResetOptions
+
+    bank = SyntheticLoader(6, seed=2).bank()
+    ag = mlp_agent(FCPolicy(hidden=(16,), n_ops=35))
+
+    def run(n_micro):
+        cfg = EMAMLConfig(n_tasks=2, envs_per_task=2, rollout_steps=8,
+                          inner_steps=2, maml_opt_steps=2,
+                          first_order=True, n_micro=n_micro)
+        st = init_emaml(ag, cfg, jax.random.key(0), n_bank_tasks=6)
+        assign = sample_task_assignment(jax.random.key(1), 6, cfg)
+        opts = ResetOptions(prob_index=assign,
+                            subprob_index=jnp.full_like(assign, -1),
+                            adaptation=jnp.ones((), bool),
+                            reset_on_submit=jnp.zeros((), bool))
+        env = BatchedEnv(table=o2arc_table(7, crop_at_33=True), bank=bank,
+                         max_trial=7, episode_limit=8, auto_reset=True,
+                         dense_reward=True, augment=True, opts=opts,
+                         reset_pool=4)
+        bs = env.reset(jax.random.key(2), 4)
+        st2, _bs2, m = jax.jit(emaml_train_step, static_argnums=(3, 4))(
+            st, env, bs, ag, cfg)
+        return st2, m
+
+    st_a, m_a = run(1)
+    st_b, m_b = run(2)
+    la, lb = float(m_a["meta_loss"]), float(m_b["meta_loss"])
+    assert np.isfinite(la) and abs(la - lb) < 1e-3 * max(1, abs(la))
+    deltas = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                          st_a.params, st_b.params)
+    assert max(jax.tree.leaves(deltas)) < 1e-4
+
+
+def test_emaml_chunked_matches_fused():
+    """The host-chunked step (make_chunked_train_step, the GPT-scale path
+    on axon) must reproduce the fused emaml_train_step numerically: with
+    first_order=True the FOMAML decomposition is exact, so params and
+    every metric match up to float reassociation."""
+    from arcle_tpu.envs.core import ResetOptions
+    from arcle_tpu.training.emaml import make_chunked_train_step
+
+    bank = SyntheticLoader(6, seed=2).bank()
+    ag = mlp_agent(FCPolicy(hidden=(16,), n_ops=35))
+
+    def run(chunked):
+        cfg = EMAMLConfig(n_tasks=2, envs_per_task=2, rollout_steps=8,
+                          inner_steps=3, maml_opt_steps=2,
+                          first_order=True, chunked=chunked)
+        st = init_emaml(ag, cfg, jax.random.key(0), n_bank_tasks=6)
+        assign = sample_task_assignment(jax.random.key(1), 6, cfg)
+        opts = ResetOptions(prob_index=assign,
+                            subprob_index=jnp.full_like(assign, -1),
+                            adaptation=jnp.ones((), bool),
+                            reset_on_submit=jnp.zeros((), bool))
+        env = BatchedEnv(table=o2arc_table(7, crop_at_33=True), bank=bank,
+                         max_trial=7, episode_limit=8, auto_reset=True,
+                         dense_reward=True, augment=True, opts=opts,
+                         reset_pool=4)
+        bs = env.reset(jax.random.key(2), 4)
+        if chunked:
+            st2, _bs2, m = make_chunked_train_step(ag, cfg)(st, env, bs)
+        else:
+            st2, _bs2, m = jax.jit(emaml_train_step, static_argnums=(3, 4))(
+                st, env, bs, ag, cfg)
+        return st2, m
+
+    st_f, m_f = run(False)
+    st_c, m_c = run(True)
+    lf, lc = float(m_f["meta_loss"]), float(m_c["meta_loss"])
+    assert abs(lf - lc) < 1e-4 * max(1, abs(lf)), (lf, lc)
+    delta = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), st_f.params, st_c.params)))
+    assert delta < 1e-5, delta
+    for k in ("inner_kl_mean", "post_eprew_mean", "adapt_reward_mean",
+              "num_covered_tasks"):
+        assert np.allclose(np.asarray(m_f[k]), np.asarray(m_c[k]),
+                           atol=1e-5), k
+    # RNG bookkeeping identical: same final key
+    assert (jax.random.key_data(st_f.key)
+            == jax.random.key_data(st_c.key)).all()
+
+
+def test_chunked_requires_first_order():
+    from arcle_tpu.training.emaml import make_chunked_train_step
+
+    ag = mlp_agent(FCPolicy(hidden=(8,), n_ops=35))
+    with pytest.raises(ValueError):
+        make_chunked_train_step(ag, EMAMLConfig(first_order=False))
