@@ -34,6 +34,20 @@ from .emaml import (
 from .rollout import rollout
 
 
+def enable_compile_cache(ckpt_dir: str) -> None:
+    """Persistent XLA-executable cache keyed by program hash: a restarted
+    driver (training/supervise.py) skips the minutes-long remote
+    recompiles entirely (measured: 104 s cold -> 0.4 s cached across
+    processes on the axon TPU).  Honors JAX_COMPILATION_CACHE_DIR when
+    the caller already set one."""
+    import os
+    d = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       os.path.join(ckpt_dir, "jax_cache"))
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+
 def _pallas_enabled(cfg: RunConfig) -> bool:
     import jax
     mode = getattr(cfg.env, "use_pallas", "auto")
@@ -171,6 +185,7 @@ def run_emaml(cfg: RunConfig, logger: MetricLogger, resume: bool = False):
             start = int(restored["iteration"]) + 1
             print(f"resumed from iteration {start - 1}", file=sys.stderr)
     n_envs = ecfg.n_tasks * ecfg.envs_per_task
+    t_iter = time.perf_counter()
     for i in range(start, cfg.total_iterations):
         # fresh task sampling per meta-iteration (emaml.py:349-361)
         key, kt, kr = jax.random.split(key, 3)
@@ -208,6 +223,12 @@ def run_emaml(cfg: RunConfig, logger: MetricLogger, resume: bool = False):
             "kl": metrics["inner_kl_mean"],
         }
         logger.log(i, logged)
+        # stderr heartbeat: liveness signal for supervise.py and humans
+        now = time.perf_counter()
+        print(f"[iter {i}] meta_loss={float(logged['total_loss']):.4f} "
+              f"post_eprew={float(logged['post_eprewmean']):.3f} "
+              f"({now - t_iter:.1f}s)", file=sys.stderr, flush=True)
+        t_iter = now
         # successful-batch persistence (train.py:126-128): pickle the
         # post-adaptation batch of every task that solved this iteration;
         # the device->host transfer only happens on success
@@ -273,6 +294,7 @@ def main(argv=None):
                           n_envs=args.n_envs, dataset=args.dataset),
             mlp_dtype=args.dtype)
     print(cfg.to_json(), file=sys.stderr)
+    enable_compile_cache(cfg.checkpoint_dir)
     logger = MetricLogger(args.log_file)
     if cfg.algo == "ppo":
         run_ppo(cfg, logger, resume=args.resume)

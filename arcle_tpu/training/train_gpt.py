@@ -18,7 +18,7 @@ from ..training.ppo import PPOConfig
 from ..training.emaml import EMAMLConfig
 from ..utils.config import RunConfig, EnvConfig
 from ..utils.metrics import MetricLogger
-from .train import run_ppo, run_emaml
+from .train import enable_compile_cache, run_ppo, run_emaml
 
 
 def main(argv=None):
@@ -42,7 +42,9 @@ def main(argv=None):
     cfg = RunConfig(
         seed=args.seed, algo=args.algo, model="gpt",
         total_iterations=args.iterations,
-        checkpoint_every=0 if args.smoke else 5,    # train_gpt.py:177-178
+        # every iteration: a meta-iteration is minutes of work and the
+        # supervisor (training/supervise.py) resumes from the last one
+        checkpoint_every=0 if args.smoke else 1,
         checkpoint_dir=args.ckpt_dir,
         env=EnvConfig(family="o2arc_crop33", max_trial=7,
                       episode_limit=10 if args.smoke else 100,
@@ -75,6 +77,7 @@ def main(argv=None):
             ppo=PPOConfig(vf_coeff=0.5, aux_coeff=args.aux_coeff)),
         gpt=gpt)
     print(cfg.to_json(), file=sys.stderr)
+    enable_compile_cache(cfg.checkpoint_dir)
     logger = MetricLogger(args.log_file)
     if cfg.algo == "ppo":
         run_ppo(cfg, logger, resume=args.resume)

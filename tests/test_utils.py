@@ -95,3 +95,38 @@ def test_emaml_driver_smoke_bookkeeping(tmp_path):
     assert rows[-1]["iteration"] == 1
     # coverage accumulates across the resume
     assert rows[-1]["num_covered_tasks"] >= rows[0]["num_covered_tasks"]
+
+
+def test_supervise_restarts_on_crash_and_hang(tmp_path):
+    """supervise.py relaunches a crashed child with --resume and kills a
+    hung one on log staleness (the single-host failure-detection story
+    for flaky device runtimes)."""
+    import sys
+    from arcle_tpu.training.supervise import run_supervised
+
+    log = tmp_path / "run.log"
+    marker = tmp_path / "attempts"
+    # child: appends a line per launch; crashes unless --resume present
+    prog = (
+        "import sys, time, pathlib\n"
+        f"m = pathlib.Path({str(marker)!r})\n"
+        "m.write_text(m.read_text() + 'x' if m.exists() else 'x')\n"
+        "print('hello', flush=True)\n"
+        "sys.exit(0 if '--resume' in sys.argv else 3)\n")
+    marker.write_text("")
+    rc = run_supervised([sys.executable, "-c", prog], str(log),
+                        stale=60.0, max_restarts=2, poll=0.2)
+    assert rc == 0
+    assert marker.read_text().count("x") == 2      # crash once, resume once
+    assert b"--resume" in log.read_bytes()
+
+    # hang: child sleeps forever without writing -> staleness kill
+    hang = ("import sys, time\n"
+            "if '--resume' in sys.argv: sys.exit(0)\n"
+            "print('started', flush=True)\n"
+            "time.sleep(600)\n")
+    log2 = tmp_path / "run2.log"
+    rc = run_supervised([sys.executable, "-c", hang], str(log2),
+                        stale=1.5, max_restarts=2, poll=0.3)
+    assert rc == 0
+    assert b"killing process group" in log2.read_bytes()
