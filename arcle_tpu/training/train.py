@@ -100,24 +100,48 @@ def run_ppo(cfg: RunConfig, logger: MetricLogger, resume: bool = False):
 
     include_aux = cfg.ppo.aux_coeff > 0.0 and agent.aux_fn is not None
 
-    def iteration(env, bs, params, opt_state, key):
+    def roll_part(env, bs, params, key):
         key, kroll, ktrain = jax.random.split(key, 3)
         bs, traj, last_v = rollout(env, bs, params, kroll, T, agent)
         batch = batch_from_trajectory(traj, last_v, cfg.ppo,
                                       include_aux=include_aux)
+        extras = {"episode_reward_mean": traj.rewards.sum(0).mean(),
+                  # success = a true termination before truncation
+                  # (sparse solve / trial exhaustion on a solve; valid
+                  # for dense rewards too, unlike max-reward heuristics)
+                  "success_rate": traj.terminated.any(0).mean()}
+        return bs, batch, extras, key, ktrain
+
+    def update_part(params, opt_state, batch, ktrain, extras):
         params, opt_state, stats = train_step(
             params, opt_state, batch, ktrain, agent, tx, cfg.ppo)
         stats = dict(stats)
-        stats["episode_reward_mean"] = traj.rewards.sum(0).mean()
-        # success = a true termination before truncation (sparse solve /
-        # trial exhaustion on a solve; valid for dense rewards too, unlike
-        # max-reward heuristics)
-        stats["success_rate"] = traj.terminated.any(0).mean()
+        stats.update(extras)
         # scalar barrier for honest timing on axon
         stats["_barrier"] = stats["total_loss"] + 0.0
+        return params, opt_state, stats
+
+    def iteration(env, bs, params, opt_state, key):
+        bs, batch, extras, key, ktrain = roll_part(env, bs, params, key)
+        params, opt_state, stats = update_part(params, opt_state, batch,
+                                               ktrain, extras)
         return bs, params, opt_state, key, stats
 
-    it_j = jax.jit(iteration)
+    if cfg.ppo_chunked:
+        # two jitted units instead of one fused program: large models on
+        # axon (single-execution watchdog; the remote compiler wedges on
+        # fused rollout+backward graphs).  Identical numerics — the same
+        # functions, just a host-level boundary between them.
+        roll_j = jax.jit(roll_part)
+        upd_j = jax.jit(update_part)
+
+        def it_j(env, bs, params, opt_state, key):
+            bs, batch, extras, key, ktrain = roll_j(env, bs, params, key)
+            params, opt_state, stats = upd_j(params, opt_state, batch,
+                                             ktrain, extras)
+            return bs, params, opt_state, key, stats
+    else:
+        it_j = jax.jit(iteration)
     ckpt = Checkpointer(cfg.checkpoint_dir)
     start = 0
     if resume:

@@ -75,7 +75,9 @@ def main(argv=None):
             # device and the axon relay kills executions over ~1 min
             chunked=not args.smoke,
             ppo=PPOConfig(vf_coeff=0.5, aux_coeff=args.aux_coeff)),
-        gpt=gpt)
+        gpt=gpt,
+        # GPT PPO: split rollout|update jits (watchdog + compiler wedge)
+        ppo_chunked=not args.smoke)
     print(cfg.to_json(), file=sys.stderr)
     enable_compile_cache(cfg.checkpoint_dir)
     logger = MetricLogger(args.log_file)

@@ -48,6 +48,11 @@ class RunConfig:
     # "bfloat16" runs the MLP torso on the MXU in bf16 (params and the
     # pi/vf heads stay f32); "float32" bit-reproduces the round-1 curve
     mlp_dtype: str = "float32"
+    # split the PPO iteration into two jitted units (rollout | update)
+    # instead of one fused program: required for large models on the
+    # axon runtime (single-execution watchdog + remote-compiler wedge on
+    # fused rollout+backward programs); numerics identical
+    ppo_chunked: bool = False
 
     def to_json(self) -> str:
         def enc(o):

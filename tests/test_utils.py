@@ -130,3 +130,43 @@ def test_supervise_restarts_on_crash_and_hang(tmp_path):
                         stale=1.5, max_restarts=2, poll=0.3)
     assert rc == 0
     assert b"killing process group" in log2.read_bytes()
+
+
+def test_ppo_chunked_driver_matches_fused(tmp_path):
+    """ppo_chunked=True (two jitted units: rollout | update — the
+    large-model path on axon) must log the same curve as the fused
+    single-program iteration."""
+    import json
+    import subprocess
+    import sys
+
+    def run(chunked):
+        log = tmp_path / f"log_{chunked}.jsonl"
+        code = (
+            "import sys, dataclasses\n"
+            "from arcle_tpu.training.train import run_ppo\n"
+            "from arcle_tpu.utils.config import RunConfig, EnvConfig\n"
+            "from arcle_tpu.training.ppo import PPOConfig\n"
+            "from arcle_tpu.utils.metrics import MetricLogger\n"
+            "cfg = RunConfig(seed=3, algo='ppo', total_iterations=3,\n"
+            "    checkpoint_every=0, checkpoint_dir=sys.argv[2],\n"
+            "    env=EnvConfig(family='o2arc_crop33', max_trial=7,\n"
+            "                  episode_limit=8, n_envs=16,\n"
+            "                  dataset='synthetic', n_synthetic_tasks=6),\n"
+            "    ppo=PPOConfig(n_epochs=1, n_minibatches=2),\n"
+            "    mlp_hidden=(32,), ppo_chunked=%r)\n"
+            "run_ppo(cfg, MetricLogger(sys.argv[1]))\n" % chunked)
+        subprocess.run(
+            [sys.executable, "-c", code, str(log),
+             str(tmp_path / f"ck_{chunked}")],
+            check=True, cwd="/root/repo",
+            env={"PATH": "/usr/bin:/bin", "PYTHONPATH": "",
+                 "JAX_PLATFORMS": "cpu", "HOME": "/root"})
+        return [json.loads(l) for l in open(log)]
+
+    fused, chunked = run(False), run(True)
+    assert len(fused) == len(chunked) == 3
+    for a, b in zip(fused, chunked):
+        assert abs(a["total_loss"] - b["total_loss"]) < 1e-5 * max(
+            1.0, abs(a["total_loss"])), (a, b)
+        assert a["success_rate"] == b["success_rate"]
