@@ -484,3 +484,31 @@ def test_chunked_requires_first_order():
     ag = mlp_agent(FCPolicy(hidden=(8,), n_ops=35))
     with pytest.raises(ValueError):
         make_chunked_train_step(ag, EMAMLConfig(first_order=False))
+
+
+def test_emaml_chunked_with_gpt_agent():
+    """gpt_agent through the host-chunked step with micro-batching — the
+    production GPT-scale path (train_gpt.py non-smoke) at CI scale."""
+    from arcle_tpu.training.emaml import make_chunked_train_step
+
+    cfg = EMAMLConfig(n_tasks=2, envs_per_task=2, rollout_steps=4,
+                      inner_steps=2, maml_opt_steps=2, first_order=True,
+                      n_micro=2, chunked=True)
+    gcfg = GPTConfig(n_layer=1, n_head=2, n_embd=16, embd_pdrop=0.0,
+                     resid_pdrop=0.0, attn_pdrop=0.0)
+    agent = gpt_agent(GPTPolicy(gcfg))
+    bank = SyntheticLoader(4, seed=2).bank()
+    assign = sample_task_assignment(jax.random.key(5), 4, cfg)
+    opts = ResetOptions(
+        prob_index=assign, subprob_index=jnp.full_like(assign, -1),
+        adaptation=jnp.ones((), bool), reset_on_submit=jnp.zeros((), bool))
+    env = BatchedEnv(table=o2arc_table(max_trial=3), bank=bank, max_trial=3,
+                     episode_limit=4, auto_reset=True, opts=opts)
+    bs = env.reset(jax.random.key(1), cfg.n_tasks * cfg.envs_per_task)
+    st = init_emaml(agent, cfg, jax.random.key(0), n_bank_tasks=4)
+    st2, bs2, metrics = make_chunked_train_step(agent, cfg)(st, env, bs)
+    assert np.isfinite(float(metrics["meta_loss"]))
+    changed = jax.tree.map(
+        lambda a, b: not np.array_equal(np.asarray(a), np.asarray(b)),
+        st.params, st2.params)
+    assert any(jax.tree.leaves(changed))
