@@ -103,6 +103,11 @@ def init_emaml(agent: Agent, cfg: EMAMLConfig, key: jax.Array,
 
 def _microbatches(batch, n: int):
     """[N, ...] leaves -> [n, N//n, ...] for a scan over micro-batches."""
+    N = jax.tree.leaves(batch)[0].shape[0]
+    if N % n:
+        raise ValueError(
+            f"per-task batch size {N} (rollout_steps*envs_per_task) is "
+            f"not divisible by n_micro={n}")
     return jax.tree.map(
         lambda x: x.reshape((n, x.shape[0] // n) + x.shape[1:]), batch)
 
@@ -158,9 +163,12 @@ def _outer_ppo_loss(params, batch: PPOBatch, cfg: EMAMLConfig,
     micro-decomposable — guarded at config time."""
     if cfg.n_micro <= 1:
         return ppo_loss(params, agent, batch, cfg.ppo)
-    if cfg.ppo.aux_coeff > 0.0:
-        raise ValueError("aux_coeff > 0 is not supported with n_micro > 1 "
-                         "(global-denominator aux losses don't decompose "
+    # mirror ppo_loss's aux condition: the aux term only exists when the
+    # agent has aux heads AND the batch carries aux targets
+    if cfg.ppo.aux_coeff > 0.0 and getattr(agent, "aux_fn", None) \
+            is not None and batch.rewards is not None:
+        raise ValueError("aux losses are not supported with n_micro > 1 "
+                         "(global-denominator aux terms don't decompose "
                          "over micro-batches)")
     shapes = jax.eval_shape(
         lambda mb: ppo_loss(params, agent, mb, cfg.ppo),
@@ -189,6 +197,11 @@ def _reshape_task(x, T: int):
 
 def _flatten_task(x):
     return x.reshape((-1,) + x.shape[2:])
+
+
+def _broadcast(p, T: int):
+    """Stack params along a new leading task axis (shared initial point)."""
+    return jax.tree.map(lambda x: jnp.broadcast_to(x, (T,) + x.shape), p)
 
 
 def task_rollout(env: BatchedEnv, bs_flat, task_params, key,
@@ -226,8 +239,6 @@ def emaml_train_step(state: EMAMLState, env: BatchedEnv, bs: BatchedState,
     T = cfg.n_tasks
     key = state.key
     params0 = state.params
-    broadcast = lambda p: jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (T,) + x.shape), p)
 
     # ---- inner adaptation loop (emaml.py:367-401) ----
     def inner(carry, _):
@@ -243,7 +254,8 @@ def emaml_train_step(state: EMAMLState, env: BatchedEnv, bs: BatchedState,
         return (new_params, bs, key), (batch, mean_rew)
 
     (adapted, bs, key), (inner_batches, inner_rews) = jax.lax.scan(
-        inner, (broadcast(params0), bs, key), None, length=cfg.inner_steps)
+        inner, (_broadcast(params0, T), bs, key), None,
+        length=cfg.inner_steps)
 
     # ---- post-adaptation rollouts, explore=False (emaml.py:410-423) ----
     key, kp = jax.random.split(key)
@@ -403,10 +415,6 @@ def make_chunked_train_step(agent: Agent, cfg: EMAMLConfig):
     T = cfg.n_tasks
     tx = make_meta_optimizer(cfg)
 
-    def broadcast(p):
-        return jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (T,) + x.shape), p)
-
     # the rollout and the inner update are separate jitted units: each
     # TPU compile through the axon tunnel is slow and a single unit
     # covering both (3 transformer instances in the scan body + the
@@ -476,7 +484,7 @@ def make_chunked_train_step(agent: Agent, cfg: EMAMLConfig):
         params = state.params
 
         # ---- inner adaptation (emaml.py:367-401) ----
-        task_params = broadcast(params)
+        task_params = _broadcast(params, T)
         inner_batches, inner_rews = [], []
         for _ in range(cfg.inner_steps):
             key, kr = jax.random.split(key)
@@ -499,7 +507,7 @@ def make_chunked_train_step(agent: Agent, cfg: EMAMLConfig):
         zero_acc = jax.tree.map(
             lambda x: jnp.zeros((T,) + x.shape, x.dtype), params)
         for _opt in range(cfg.maml_opt_steps):
-            p = broadcast(params)
+            p = _broadcast(params, T)
             acc = zero_acc
             kls = []
             for i, tb in enumerate(inner_batches):

@@ -42,6 +42,14 @@ import time
 def run_supervised(cmd, log_path: str, stale: float = 900.0,
                    max_restarts: int = 8, poll: float = 10.0) -> int:
     """Run ``cmd`` under staleness supervision; returns its exit code."""
+    if stale < 600:
+        # a single cold remote compile can legitimately stay silent for
+        # 100-450 s (and never lands in the compile cache if killed
+        # mid-flight, so an aggressive watchdog loops on the same
+        # compile until max_restarts)
+        print(f"[supervise] warning: --stale {stale:.0f}s is below the "
+              f"~450 s worst-case cold-compile silence; healthy first "
+              f"iterations may be killed", file=sys.stderr)
     attempt = 0
     while True:
         argv = list(cmd)

@@ -121,27 +121,22 @@ def run_ppo(cfg: RunConfig, logger: MetricLogger, resume: bool = False):
         stats["_barrier"] = stats["total_loss"] + 0.0
         return params, opt_state, stats
 
-    def iteration(env, bs, params, opt_state, key):
-        bs, batch, extras, key, ktrain = roll_part(env, bs, params, key)
-        params, opt_state, stats = update_part(params, opt_state, batch,
-                                               ktrain, extras)
-        return bs, params, opt_state, key, stats
+    def compose(roll_fn, update_fn):
+        def iteration(env, bs, params, opt_state, key):
+            bs, batch, extras, key, ktrain = roll_fn(env, bs, params, key)
+            params, opt_state, stats = update_fn(params, opt_state, batch,
+                                                 ktrain, extras)
+            return bs, params, opt_state, key, stats
+        return iteration
 
     if cfg.ppo_chunked:
         # two jitted units instead of one fused program: large models on
         # axon (single-execution watchdog; the remote compiler wedges on
         # fused rollout+backward graphs).  Identical numerics — the same
         # functions, just a host-level boundary between them.
-        roll_j = jax.jit(roll_part)
-        upd_j = jax.jit(update_part)
-
-        def it_j(env, bs, params, opt_state, key):
-            bs, batch, extras, key, ktrain = roll_j(env, bs, params, key)
-            params, opt_state, stats = upd_j(params, opt_state, batch,
-                                             ktrain, extras)
-            return bs, params, opt_state, key, stats
+        it_j = compose(jax.jit(roll_part), jax.jit(update_part))
     else:
-        it_j = jax.jit(iteration)
+        it_j = jax.jit(compose(roll_part, update_part))
     ckpt = Checkpointer(cfg.checkpoint_dir)
     start = 0
     if resume:
@@ -196,6 +191,7 @@ def run_emaml(cfg: RunConfig, logger: MetricLogger, resume: bool = False):
     if resume:
         tmpl = {"params": st.params, "opt_state": st.opt_state,
                 "kl_coeffs": st.kl_coeffs, "key": _key_data(key),
+                "state_key": _key_data(st.key),
                 "tasks_covered": st.tasks_covered,
                 "tasks_succeeded": st.tasks_succeeded, "iteration": 0}
         restored = ckpt.restore(tmpl)
@@ -203,6 +199,9 @@ def run_emaml(cfg: RunConfig, logger: MetricLogger, resume: bool = False):
             st = st._replace(
                 params=restored["params"], opt_state=restored["opt_state"],
                 kl_coeffs=restored["kl_coeffs"],
+                # the step's own rollout/sampling RNG: without it a
+                # resumed run replays iteration 0's exploration noise
+                key=_wrap_key(restored["state_key"]),
                 tasks_covered=restored["tasks_covered"],
                 tasks_succeeded=restored["tasks_succeeded"])
             key = _wrap_key(restored["key"])
@@ -271,6 +270,7 @@ def run_emaml(cfg: RunConfig, logger: MetricLogger, resume: bool = False):
         if cfg.checkpoint_every and i % cfg.checkpoint_every == 0:
             ckpt.save(i, {"params": st.params, "opt_state": st.opt_state,
                           "kl_coeffs": st.kl_coeffs, "key": _key_data(key),
+                          "state_key": _key_data(st.key),
                           "tasks_covered": st.tasks_covered,
                           "tasks_succeeded": st.tasks_succeeded,
                           "iteration": i})

@@ -37,6 +37,15 @@ def main(argv=None):
                          "0 = off (shipped-reference parity)")
     args = ap.parse_args(argv)
 
+    # fail fast on statically-known incompatibilities instead of after
+    # minutes of rollouts/compiles: the aux losses need aux-target
+    # batches, which only the PPO driver builds, and they don't decompose
+    # over the E-MAML micro-batch accumulation
+    if args.aux_coeff > 0.0 and args.algo != "ppo":
+        ap.error("--aux-coeff > 0 requires --algo ppo (E-MAML batches "
+                 "carry no aux targets, and aux terms don't decompose "
+                 "over n_micro gradient accumulation)")
+
     gpt = GPTConfig(attn_chunk=256) if not args.smoke else GPTConfig(
         n_layer=2, n_head=4, n_embd=32)
     cfg = RunConfig(
