@@ -160,6 +160,11 @@ def run_ppo(cfg: RunConfig, logger: MetricLogger, resume: bool = False):
             stats = {k: v for k, v in stats.items() if not k.startswith("_")}
             stats["env_steps_per_s"] = rate
             logger.log(i, stats)
+        if i % 50 == 0:
+            # stderr heartbeat: liveness signal for supervise.py
+            print(f"[iter {i}] loss={float(stats['total_loss']):.4f} "
+                  f"success={float(stats['success_rate']):.3f} "
+                  f"{rate:,.0f} steps/s", file=sys.stderr, flush=True)
         if cfg.checkpoint_every and i % cfg.checkpoint_every == 0:
             ckpt.save(i, {"params": params, "opt_state": opt_state,
                           "key": _key_data(key), "iteration": i})
