@@ -16,7 +16,7 @@ indices so this never affects bit-exactness checks.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import gymnasium as gym
 import jax

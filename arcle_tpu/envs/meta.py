@@ -15,8 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.state import EnvState, I8, I32
-from ..ops.table import OpTable, o2arc_table, dense_reward
+from ..core.state import I8, I32
+from ..ops.table import OpTable, o2arc_table
 from .gym_compat import O2ARCv2Env
 
 

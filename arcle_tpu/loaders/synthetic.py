@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

@@ -17,8 +17,6 @@ resampling; attention runs in bfloat16 on the MXU with f32 accumulation.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

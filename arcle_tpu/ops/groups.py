@@ -31,8 +31,6 @@ Bit-exactness notes (verified against the reference by the parity suite):
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -34,8 +34,6 @@ epilogue stays in XLA.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

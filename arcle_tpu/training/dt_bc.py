@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..models.dt import DTPolicy, DTConfig
+from ..models.dt import DTPolicy
 
 
 class DTBatch(NamedTuple):

@@ -11,7 +11,7 @@ TPU counterpart of the reference's single-GPU learn_on_batch.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

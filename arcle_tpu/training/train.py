@@ -12,7 +12,6 @@ Run:  python -m arcle_tpu.training.train --algo emaml --iterations 100
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import sys
 import time
 

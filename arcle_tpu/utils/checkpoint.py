@@ -12,8 +12,6 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-import jax
-
 
 def _manager(directory: str, max_to_keep: int = 5):
     import orbax.checkpoint as ocp

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Optional, Tuple
+from typing import Tuple
 
 from ..training.ppo import PPOConfig
 from ..training.emaml import EMAMLConfig
