@@ -355,3 +355,36 @@ def test_pooled_reset_respects_task_pinning():
                     ok = True
                     break
             assert ok, (i, j)
+
+
+def test_pooled_auto_reset_wraps_at_exhaustion():
+    """More resets than pool entries: the counter wraps modulo K and
+    re-uses entries deterministically (documented ResetPool semantics) —
+    stepping stays valid past exhaustion."""
+    import jax
+    import jax.numpy as jnp
+    from arcle_tpu.core.state import Action
+    from arcle_tpu.envs import BatchedEnv
+    from arcle_tpu.loaders import SyntheticLoader
+    from arcle_tpu.ops import o2arc_table
+
+    K = 2
+    env = BatchedEnv(table=o2arc_table(max_trial=1), bank=SyntheticLoader(
+        4, seed=3).bank(), max_trial=1, episode_limit=2, auto_reset=True,
+        reset_pool=K)
+    B = 4
+    bs = env.reset(jax.random.key(0), B)
+    step = jax.jit(type(env).step)
+    submit = Action(selection=jnp.zeros((B, 30, 30), jnp.int8),
+                    operation=jnp.full((B,), env.table.n_ops - 1, jnp.int8))
+    grids_by_slot = []
+    # max_trial=1: every submit terminates -> one pool draw per step
+    for t in range(2 * K + 1):                     # wraps twice
+        bs, obs, rew, term, trunc = step(env, bs, submit)
+        assert bool(term.all())
+        grids_by_slot.append(np.asarray(bs.env.grid))
+    ctr = np.asarray(bs.pool.counter)
+    assert (ctr == 2 * K + 1).all(), ctr           # counted past K
+    # wrap determinism: reset t and reset t+K draw the same pool entry
+    np.testing.assert_array_equal(grids_by_slot[0], grids_by_slot[K])
+    np.testing.assert_array_equal(grids_by_slot[1], grids_by_slot[K + 1])
