@@ -31,6 +31,13 @@ def main(argv=None):
     ap.add_argument("--ckpt-dir", default="./ckpts_gpt")
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--inner-steps", type=int, default=20,
+                    help="inner-adaptation steps per task (reference: 20, "
+                         "train_gpt.py:54); lower = shorter wall-clock per "
+                         "meta-iteration on tunneled chips where per-unit "
+                         "launch overhead dominates")
+    ap.add_argument("--meta-steps", type=int, default=5,
+                    help="meta-optimizer steps per iteration (reference: 5)")
     ap.add_argument("--aux-coeff", type=float, default=0.0,
                     help="weight of the action-conditioned auxiliary "
                          "losses (r_{t-1}/r_t/next-grid, paper §4.1.1); "
@@ -74,8 +81,8 @@ def main(argv=None):
             n_tasks=2,
             envs_per_task=4 if args.smoke else 1,
             rollout_steps=10 if args.smoke else 100,
-            inner_steps=1 if args.smoke else 20,
-            maml_opt_steps=1 if args.smoke else 5,
+            inner_steps=1 if args.smoke else args.inner_steps,
+            maml_opt_steps=1 if args.smoke else args.meta_steps,
             first_order=True,
             # 25-sample micro-batches bound the replay's activation
             # memory (see EMAMLConfig.n_micro)
