@@ -200,7 +200,10 @@ SCALAR_FIELDS_OUT = ("grid_h", "grid_w", "clip_h", "clip_w", "obj_h",
 
 
 def _step_kernel(table: OpTable, *refs):
-    n_in = len(GRID_FIELDS_IN) + 1 + 1 + 2
+    # tables without object ops (Raw, ARC-27) skip the permutation-matrix
+    # operands entirely — no MXU work, ~3.2 MB less VMEM
+    has_obj = G.OBJECT in table.group
+    n_in = len(GRID_FIELDS_IN) + 1 + 1 + (2 if has_obj else 0)
     ins, outs = refs[:n_in], refs[n_in:]
     it = iter(ins)
     gv = {k: next(it)[:] for k in GRID_FIELDS_IN}
@@ -210,7 +213,8 @@ def _step_kernel(table: OpTable, *refs):
     # VMEM and operand-marshalling time
     packed = next(it)[:]
     sv = {k: packed[:, i:i + 1] for i, k in enumerate(SCALAR_FIELDS_IN)}
-    perm_r90, perm_lr = (next(it) for _ in range(2))
+    perm_r90, perm_lr = ((next(it) for _ in range(2)) if has_obj
+                         else (None, None))
 
     shape = gv["grid"].shape
     row, col = _rowcol(shape)
@@ -336,15 +340,20 @@ def _step_kernel(table: OpTable, *refs):
     kinds = frozenset(p for g_, p in zip(table.group, table.param)
                       if g_ == G.OBJECT)
 
-    r90m, lrm = perm_r90[:], perm_lr[:]
+    r90m = perm_r90[:] if has_obj else None
+    lrm = perm_lr[:] if has_obj else None
 
     def transform2(bufa, bufb):
         """Transform both object buffers in one stacked matmul chain
-        (M = 2*BLK keeps the MXU well fed)."""
+        (M = 2*BLK keeps the MXU well fed).  Only the variants present in
+        the table's op set are computed (a move-only table does zero
+        matmuls)."""
         buf = jnp.concatenate([bufa, bufb], axis=0)
         two = lambda v: (v[:bufa.shape[0]], v[bufa.shape[0]:])
-        b90 = _permute(buf, r90m)          # shared by rot90/rot270/flipud
-        blr = _permute(buf, lrm)
+        need_90 = kinds & {OBJ.ROT_90, OBJ.ROT_270, OBJ.FLIP_V}
+        b90 = _permute(buf, r90m) if need_90 else None
+        blr = (_permute(buf, lrm)
+               if kinds & {OBJ.FLIP_H, OBJ.FLIP_V} else None)
         variants = {}
         if OBJ.ROT_90 in kinds:
             variants[OBJ.ROT_90] = two(b90)
@@ -538,8 +547,9 @@ def _step_impl(state: EnvState, action: Action, table: OpTable,
                  state.trials_remain, state.terminated,
                  state.reset_on_submit, grp, par, rs]
     packed = jnp.stack([c.astype(I32) for c in scal_cols], axis=1)
-    perms = [jnp.asarray(_PERM_ROT90, jnp.bfloat16),
-             jnp.asarray(_PERM_FLIPLR, jnp.bfloat16)]
+    has_obj = G.OBJECT in table.group
+    perms = ([jnp.asarray(_PERM_ROT90, jnp.bfloat16),
+              jnp.asarray(_PERM_FLIPLR, jnp.bfloat16)] if has_obj else [])
 
     n_grid_out = len(GRID_FIELDS_OUT)
     n_sc_in = len(SCALAR_FIELDS_IN)
@@ -558,7 +568,7 @@ def _step_impl(state: EnvState, action: Action, table: OpTable,
         in_specs=[gspec] * 9
         + [pl.BlockSpec((BLK, n_sc_in), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)]
-        + [pspec] * 2,
+        + [pspec] * len(perms),
         out_specs=tuple([gspec] * n_grid_out
                         + [pl.BlockSpec((BLK, n_sc_out), lambda i: (i, 0),
                                         memory_space=pltpu.VMEM)]),

@@ -248,6 +248,13 @@ def run_emaml(cfg: RunConfig, logger: MetricLogger, resume: bool = False):
             "num_covered_tasks": metrics["num_covered_tasks"],
             "num_succeed_tasks": metrics["num_succeed_tasks"],
             "kl": metrics["inner_kl_mean"],
+            # per-task arrays (emaml.py:431-454 bookkeeping), in the record
+            # so a run log alone reconstructs which tasks were solved
+            "sampled_tasks": np.asarray(metrics["sampled_tasks"]).tolist(),
+            "once_successful":
+                np.asarray(metrics["once_successful"]).astype(int).tolist(),
+            "post_reward_per_task":
+                np.asarray(metrics["post_reward_per_task"]).tolist(),
         }
         logger.log(i, logged)
         # stderr heartbeat: liveness signal for supervise.py and humans

@@ -132,12 +132,21 @@ def bench_tpu(batch: int, steps: int, iters: int, seed: int = 0,
         table = o2arc_table(max_trial=-1)
     if bank is None:
         bank = SyntheticLoader(16, seed=3).bank()
-    use_pallas = (jax.devices()[0].platform == "tpu" and batch % 64 == 0
-                  and table.n_ops == 35)
+    # the megakernel is table-generic (raw/arc parity fuzzed in
+    # tests/test_pallas_step.py); it needs whole 64-env blocks, and under
+    # ~8 blocks the grid is too short to pipeline — measured on v5e:
+    # raw@256 504k (pallas) vs 667k (XLA), arc@1024 786k vs 633k
+    use_pallas = jax.devices()[0].platform == "tpu" and batch % 64 == 0 \
+        and batch >= 512
     log(f"pallas megakernel: {use_pallas}")
     env = BatchedEnv(table=table, bank=bank,
                      max_trial=-1, episode_limit=100, auto_reset=True,
-                     use_pallas=use_pallas)
+                     use_pallas=use_pallas,
+                     # pre-drawn reset pool: auto-reset inside the scan is a
+                     # row gather instead of a fresh sample+init (the same
+                     # mechanism run_ppo uses; measured 44 ms of a 200 ms
+                     # rollout at B=4096 without it)
+                     reset_pool=8)
 
     H = W = 30
 

@@ -75,6 +75,44 @@ def test_pallas_matches_xla(crop33):
         st = s_ref
 
 
+@pytest.mark.parametrize("family", ["raw", "arc"])
+def test_pallas_matches_xla_other_tables(family):
+    """The megakernel is table-generic: Raw (12 ops, no flood/object/clip)
+    and ARC-27 (flood + clipboard, no object machine) must match the XLA
+    path bit-for-bit too — these are BASELINE configs 1-3's tables."""
+    from arcle_tpu.ops.pallas_step import pallas_step_deferred, BLK
+    from arcle_tpu.core.state import Action
+    from arcle_tpu.ops import raw_table, arc_table, step_deferred
+    from arcle_tpu.loaders import SyntheticLoader
+    from arcle_tpu.envs import BatchedEnv
+
+    table = (raw_table(max_trial=3) if family == "raw"
+             else arc_table(max_trial=3))
+    env = BatchedEnv(table=table, bank=SyntheticLoader(8, seed=4).bank(),
+                     max_trial=3)
+    B = BLK
+    bs = env.reset(jax.random.key(5), B)
+    st = bs.env
+    rng = np.random.default_rng(17 + table.n_ops)
+    vstep = jax.jit(jax.vmap(step_deferred, in_axes=(0, 0, None)),
+                    static_argnums=2)
+
+    for t in range(20):
+        ops = rng.integers(0, table.n_ops, B).astype(np.int32)
+        sels = np.stack([random_selection(rng) for _ in range(B)])
+        act = Action(selection=jnp.asarray(sels), operation=jnp.asarray(ops))
+        s_ref, r_ref, t_ref, p_ref = vstep(st, act, table)
+        s_pal, r_pal, t_pal, p_pal = pallas_step_deferred(st, act, table)
+        for f in dataclasses.fields(s_ref):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(s_ref, f.name)),
+                np.asarray(getattr(s_pal, f.name)),
+                err_msg=f"{family} step {t} field {f.name}")
+        np.testing.assert_array_equal(np.asarray(r_ref), np.asarray(r_pal))
+        np.testing.assert_array_equal(np.asarray(p_ref), np.asarray(p_pal))
+        st = s_ref
+
+
 def test_pallas_reset_on_submit():
     from arcle_tpu.ops.pallas_step import pallas_step_deferred, BLK
     from arcle_tpu.core.state import Action
