@@ -159,6 +159,10 @@ class BatchedEnv:
     episode_limit: int = 0          # 0 = unlimited
     auto_reset: bool = True
     dense_reward: bool = False      # CustomO2ARCEnv shaping (env.py:44-58)
+    pixel_reward: bool = False      # paper §4.1 reward: -(incorrect/total)
+                                    # in [-1,0] (benchmarks/answer_given.py)
+    terminate_on_match: bool = False  # paper §4.1 success: terminate when
+                                    # the grid equals the answer (no Submit)
     augment: bool = False           # reset-time rot90+recolor (env.py:31-42)
     use_pallas: bool = False        # whole-step VMEM megakernel (TPU only)
     reset_pool: int = 0             # K>0: auto-reset consumes a K-entry
@@ -239,9 +243,7 @@ class BatchedEnv:
         env2 = jax.lax.cond(
             jnp.any(pending), flood_fixup, lambda a: a[0], (env2, action))
 
-        if self.dense_reward:
-            from ..ops.table import dense_reward as _dense
-            reward = jax.vmap(_dense)(env2, reward)
+        env2, reward, term = self._shape_reward_term(env2, reward, term)
 
         if self.episode_limit > 0:
             trunc = env2.steps >= self.episode_limit
@@ -252,6 +254,24 @@ class BatchedEnv:
                     env2, reward, term, trunc)
         bs3 = self._auto_reset(env2, bs, term | trunc, flat=False)
         return bs3, env2, reward, term, trunc
+
+    def _shape_reward_term(self, env2: EnvState, reward: jax.Array,
+                           term: jax.Array):
+        """Optional reward shaping / success-termination modes, applied to
+        the post-op (pre-reset) state on both engine layouts."""
+        if self.dense_reward:
+            from ..ops.table import dense_reward as _dense
+            reward = jax.vmap(_dense)(env2, reward)
+        if self.pixel_reward:
+            from ..ops.table import pixel_reward as _pixel
+            reward = jax.vmap(_pixel)(env2)
+        if self.terminate_on_match:
+            from ..ops.table import answers_match_any as _match
+            solved = jax.vmap(_match)(env2)
+            env2 = env2.replace(
+                terminated=jnp.maximum(env2.terminated, solved.astype(I8)))
+            term = env2.terminated != 0
+        return env2, reward, term
 
     def step_flat(self, bs: BatchedState, action: Action
                   ) -> Tuple[BatchedState, EnvState, jax.Array, jax.Array,
@@ -278,9 +298,7 @@ class BatchedEnv:
         env2 = jax.lax.cond(
             jnp.any(pending), flood_fixup, lambda a: a[0], (env2, action))
 
-        if self.dense_reward:
-            from ..ops.table import dense_reward as _dense
-            reward = jax.vmap(_dense)(env2, reward)
+        env2, reward, term = self._shape_reward_term(env2, reward, term)
 
         if self.episode_limit > 0:
             trunc = env2.steps >= self.episode_limit
@@ -343,7 +361,8 @@ jax.tree_util.register_dataclass(
     BatchedEnv,
     data_fields=["bank", "opts"],
     meta_fields=["table", "max_trial", "episode_limit", "auto_reset",
-                 "dense_reward", "augment", "use_pallas", "reset_pool"],
+                 "dense_reward", "pixel_reward", "terminate_on_match",
+                 "augment", "use_pallas", "reset_pool"],
 )
 
 

@@ -38,6 +38,21 @@ class GPTConfig:
     attn_pdrop: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = True          # rematerialize blocks (long sequences)
+    color_equivariant: bool = False  # paper §4.1.2 color-equivariant arch:
+                                # color-op tokens are *pure* functions of
+                                # the color embedding (no per-op learned
+                                # embedding), so permuting task colors +
+                                # color-emb rows permutes the policy exactly
+    factorized: bool = False    # paper §4.1.2 "non-sequential" control:
+                                # operation and selection decided from two
+                                # independent special tokens (assumes
+                                # operation ⫫ selection | s)
+    bbox_bins: int = 0          # >0: additionally emit categorical bbox
+                                # coordinate logits [n_ops, 4, bins] — the
+                                # discrete selection head used by the
+                                # answer-given benchmark (small grids);
+                                # 0 = TruncatedNormal heads only (the
+                                # reference AROPandBBox parameterization)
     attn_chunk: int = 512       # streaming-attention key-chunk size; the
                                 # per-chunk score tensor is
                                 # [B, H, T, attn_chunk] f32 — shrink for
@@ -258,7 +273,16 @@ class GPTPolicy(nn.Module):
         op_tokens = jnp.tile(op_emb.embedding[None].astype(c.dtype), (B, 1, 1))
         color_part = (color_action_tkn.astype(c.dtype)
                       + color_emb.embedding[None].astype(c.dtype))
-        op_tokens = op_tokens.at[:, :c.num_colors].add(color_part)
+        if c.color_equivariant:
+            # §4.1.2: the color-op token is a *function of the color
+            # embedding* only — replacing (not augmenting) the learned
+            # per-op embedding makes the policy exactly equivariant under
+            # simultaneous (task colors, color-emb rows) permutation
+            op_tokens = op_tokens.at[:, :c.num_colors].set(
+                jnp.broadcast_to(color_part,
+                                 (B, c.num_colors, c.n_embd)))
+        else:
+            op_tokens = op_tokens.at[:, :c.num_colors].add(color_part)
 
         cls = jnp.tile(cls_tkn.astype(c.dtype), (B, 1, 1))
 
@@ -269,9 +293,30 @@ class GPTPolicy(nn.Module):
         op_cond = operation if conditioned else jnp.zeros((B,), jnp.int32)
         bb_cond = bbox if conditioned else jnp.zeros((B, 4), jnp.float32)
         enc_op = op_emb(op_cond.astype(jnp.int32))[:, None]
+        if c.color_equivariant:
+            # keep the conditioned pass equivariant too: a color op's
+            # action token is the same function of the color embedding
+            # as its policy token
+            color_cond = (color_action_tkn[0].astype(c.dtype)
+                          + color_emb(jnp.clip(op_cond, 0,
+                                               c.num_colors - 1)
+                                      .astype(jnp.int32))[:, None])
+            enc_op = jnp.where((op_cond < c.num_colors)[:, None, None],
+                               color_cond, enc_op)
         enc_bb = bbox_enc(bb_cond)[:, None]
 
         tokens = [grid_t, inp_t, info, op_tokens, cls]
+        n_special = 0
+        if c.factorized:
+            opq_tkn = self.param("op_query_tkn",
+                                 nn.initializers.normal(0.02),
+                                 (1, 1, c.n_embd))
+            selq_tkn = self.param("sel_query_tkn",
+                                  nn.initializers.normal(0.02),
+                                  (1, 1, c.n_embd))
+            tokens += [jnp.tile(opq_tkn.astype(c.dtype), (B, 1, 1)),
+                       jnp.tile(selq_tkn.astype(c.dtype), (B, 1, 1))]
+            n_special = 2
         n_extra = 0
         if conditioned:
             tokens += [enc_op, enc_bb]
@@ -282,7 +327,8 @@ class GPTPolicy(nn.Module):
             grid_dim, c.grid_x, c.grid_y)
         inp_pad = ~jax.vmap(active_mask, in_axes=(0, None, None))(
             inp_dim, c.grid_x, c.grid_y)
-        fixed = jnp.zeros((B, 2 + c.num_actions + n_extra), bool)
+        fixed = jnp.zeros((B, 2 + c.num_actions + n_special + n_extra),
+                          bool)
         pad_mask = jnp.concatenate([grid_pad, inp_pad, fixed], axis=1)
 
         x = nn.Dropout(c.embd_pdrop)(x, deterministic=deterministic)
@@ -302,15 +348,40 @@ class GPTPolicy(nn.Module):
         # (GPTPolicy.py:423-425 intent); unconditioned: from CLS
         r_src = x[:, -1] if conditioned else cls_x
 
-        op_logits = Head(1, c, name="head_operation")(op_x).squeeze(-1)
+        bbox_logits_all = None
+        if c.factorized:
+            # non-sequential control (§4.1.2 arch (1)): operation logits
+            # and a single op-independent bbox head from two dedicated
+            # special tokens — (operation ⫫ selection) | s by construction
+            opq_x = x[:, cls_at + 1]
+            selq_x = x[:, cls_at + 2]
+            op_logits = Head(c.num_actions, c, name="head_operation_f")(opq_x)
+            bm = Head(4, c, name="head_bbox_mean_f")(selq_x)
+            bs = Head(4, c, name="head_bbox_std_f")(selq_x)
+            bbox_mean_all = jnp.broadcast_to(
+                bm[:, None, :], (B, c.num_actions, 4))
+            bbox_std_all = jnp.broadcast_to(
+                bs[:, None, :], (B, c.num_actions, 4))
+            if c.bbox_bins:
+                bl = Head(4 * c.bbox_bins, c,
+                          name="head_bbox_logits_f")(selq_x)
+                bbox_logits_all = jnp.broadcast_to(
+                    bl.reshape(B, 1, 4, c.bbox_bins),
+                    (B, c.num_actions, 4, c.bbox_bins))
+        else:
+            op_logits = Head(1, c, name="head_operation")(op_x).squeeze(-1)
+            bbox_mean_all = Head(4, c, name="head_bbox_mean")(op_x)
+            bbox_std_all = Head(4, c, name="head_bbox_std")(op_x)
+            if c.bbox_bins:
+                bbox_logits_all = Head(
+                    4 * c.bbox_bins, c, name="head_bbox_logits")(op_x) \
+                    .reshape(B, -1, 4, c.bbox_bins)
         value = Head(1, c, name="head_critic")(cls_x).squeeze(-1)
         rtm1 = Head(1, c, name="head_aux_rtm1")(cls_x).squeeze(-1)
         r_pred = Head(1, c, name="head_aux_reward")(r_src).squeeze(-1)
         g_pred = Head(c.num_colors, c, name="head_aux_transition")(grid_x_tokens)
-        bbox_mean_all = Head(4, c, name="head_bbox_mean")(op_x)
-        bbox_std_all = Head(4, c, name="head_bbox_std")(op_x)
 
-        return {
+        out = {
             "op_tokens": op_x.astype(jnp.float32),
             "op_logits": op_logits.astype(jnp.float32),
             "value": value,
@@ -320,3 +391,6 @@ class GPTPolicy(nn.Module):
             "bbox_mean_all": bbox_mean_all,
             "bbox_std_all": bbox_std_all,
         }
+        if bbox_logits_all is not None:
+            out["bbox_logits_all"] = bbox_logits_all.astype(jnp.float32)
+        return out

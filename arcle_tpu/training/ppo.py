@@ -43,6 +43,9 @@ class PPOConfig:
                                  # (r_{t-1}/r_t/next-grid, paper §4.1.1);
                                  # 0 = off, matching the shipped reference
                                  # whose aux heads never enter its loss
+    aux_terms: str = "all"       # which aux terms enter the loss — the
+                                 # paper's Figure-5 ablation ladder:
+                                 # "rtm1" | "rtm1+rt" | "all"
 
 
 class PPOBatch(NamedTuple):
@@ -132,7 +135,11 @@ def ppo_loss(params, agent, batch: PPOBatch, cfg: PPOConfig):
         ce = -jnp.sum(g_logp * (tgt[..., None] == classes), axis=-1)
         denom = jnp.maximum(batch.aux_valid.sum(), 1.0)
         g_loss = (ce.mean(-1) * batch.aux_valid).sum() / denom
-        aux_loss = rtm1_loss + r_loss + g_loss
+        aux_loss = rtm1_loss
+        if cfg.aux_terms in ("rtm1+rt", "all"):
+            aux_loss = aux_loss + r_loss
+        if cfg.aux_terms == "all":
+            aux_loss = aux_loss + g_loss
         total = total + cfg.aux_coeff * aux_loss
         stats.update({"aux_loss": aux_loss, "aux_rtm1_loss": rtm1_loss,
                       "aux_r_loss": r_loss, "aux_grid_loss": g_loss})

@@ -62,6 +62,9 @@ def rollout(env: BatchedEnv, bs: BatchedState, params, key: jax.Array,
     # no relayout copies anywhere in the steady state.  The XLA path keeps
     # the square step but still rides a flat carry (4x less HBM).
     pure_flat = env.use_pallas
+    # grid geometry comes from the task bank (5x5 for the answer-given
+    # benchmark, 30x30 for the ARC families)
+    H, W = env.bank.in_grids.shape[-2:]
 
     # refresh the auto-reset pool once per rollout: fresh augmentations
     # drawn in one bandwidth-bound batch instead of ~45 launch-bound
@@ -78,14 +81,14 @@ def rollout(env: BatchedEnv, bs: BatchedState, params, key: jax.Array,
             obs = agent.obs_fn(bs_flat.env)
             acts, lp, value = agent.sample_fn(params, obs, ka, deterministic)
             bs2, obs_env, rew, term, trunc = env.step_flat(
-                bs_flat, decode_bbox_actions(acts, flat=True))
+                bs_flat, decode_bbox_actions(acts, H, W, flat=True))
             next_carry = bs2
         else:
             bs = unflatten_grids(bs_flat)
             obs = agent.obs_fn(bs.env)
             acts, lp, value = agent.sample_fn(params, obs, ka, deterministic)
             bs2, obs_env, rew, term, trunc = env.step(
-                bs, decode_bbox_actions(acts))
+                bs, decode_bbox_actions(acts, H, W))
             next_carry = flatten_grids(bs2)
 
         # TimeLimit bootstrap value: V of the *pre-reset* observation

@@ -1,0 +1,218 @@
+"""Driver for the paper §4.1 answer-given benchmark.
+
+Reproduces the reference's published headline experiments
+(arcle_paper.pdf §4.1.1-§4.1.3, the baselines recorded in BASELINE.md) on
+TPU: PPO over thousands of lockstep 5x5 answer-given envs, with the
+color-equivariant policy and the three auxiliary losses.
+
+Experiment cells::
+
+    # headline (Figure 5, rightmost curve): all three aux losses
+    python -m arcle_tpu.training.train_answer_given --aux all
+
+    # vanilla PPO control ("not able to learn anything")
+    python -m arcle_tpu.training.train_answer_given --aux none
+
+    # architecture control (Figure 6): non-sequential factorized policy
+    python -m arcle_tpu.training.train_answer_given --arch nonseq
+
+    # continual setting (Figure 7): colors 2 -> 4 -> 6 -> 8 -> 10
+    python -m arcle_tpu.training.train_answer_given --continual
+
+Success rate is measured per completed episode (solved episodes / finished
+episodes within the rollout window); the paper's target is >95% in the
+random setting.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ..benchmarks.answer_given import (
+    answer_given_agent, answer_given_env, make_policy,
+)
+from ..utils.checkpoint import Checkpointer
+from ..utils.metrics import MetricLogger, Throughput
+from .ppo import PPOConfig, batch_from_trajectory, make_optimizer, train_step
+from .rollout import rollout
+from .train import enable_compile_cache, _key_data, _wrap_key
+
+
+def build(args):
+    env = answer_given_env(
+        n_tasks=args.n_tasks, h=args.size, w=args.size,
+        colors=args.colors, seed=args.seed,
+        episode_limit=args.episode_limit, setting=args.setting)
+    policy = make_policy(
+        h=args.size, w=args.size, colors=args.colors,
+        n_layer=args.n_layer, n_head=args.n_head, n_embd=args.n_embd,
+        factorized=(args.arch == "nonseq"),
+        color_equivariant=(args.arch == "color_eq"),
+        bbox_dist_kind=args.bbox_dist)
+    agent = answer_given_agent(policy, min_log_std=args.min_log_std)
+    pcfg = PPOConfig(
+        gamma=args.gamma, gae_lambda=args.gae_lambda,
+        clip_eps=args.clip, vf_clip=10.0, vf_coeff=args.vf_coeff,
+        entropy_coeff=args.ent_coeff, kl_coeff=0.0, lr=args.lr,
+        n_epochs=args.epochs, n_minibatches=args.minibatches,
+        max_grad_norm=1.0,
+        aux_coeff=0.0 if args.aux == "none" else args.aux_coeff,
+        aux_terms="all" if args.aux == "none" else args.aux)
+    return env, agent, pcfg
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--setting", default="random", choices=["random", "arc"])
+    ap.add_argument("--size", type=int, default=5)
+    ap.add_argument("--colors", type=int, default=10)
+    ap.add_argument("--n-tasks", type=int, default=16384)
+    ap.add_argument("--episode-limit", type=int, default=50)
+    ap.add_argument("--arch", default="color_eq",
+                    choices=["color_eq", "nonseq"])
+    ap.add_argument("--aux", default="all",
+                    choices=["none", "rtm1", "rtm1+rt", "all"])
+    ap.add_argument("--aux-coeff", type=float, default=0.3)
+    ap.add_argument("--n-layer", type=int, default=4)
+    ap.add_argument("--n-head", type=int, default=4)
+    ap.add_argument("--n-embd", type=int, default=128)
+    ap.add_argument("--n-envs", type=int, default=1024)
+    ap.add_argument("--rollout", type=int, default=64)
+    ap.add_argument("--iterations", type=int, default=2000)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--gamma", type=float, default=0.95)
+    ap.add_argument("--bbox-dist", default="categorical",
+                    choices=["categorical", "truncnorm"],
+                    help="selection head: discrete per-coordinate "
+                         "categorical (default) or the reference's "
+                         "TruncatedNormal AROPandBBox parameterization")
+    ap.add_argument("--min-log-std", type=float, default=-2.3,
+                    help="floor on the bbox log-std (exploration keeps a "
+                         "~0.1 noise floor on the [0,1] coords); -20 "
+                         "restores reference-parity behavior")
+    ap.add_argument("--gae-lambda", type=float, default=0.95)
+    ap.add_argument("--clip", type=float, default=0.2)
+    ap.add_argument("--vf-coeff", type=float, default=0.5)
+    ap.add_argument("--ent-coeff", type=float, default=0.01)
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--minibatches", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--continual", action="store_true",
+                    help="§4.1.3 continual setting: 5 phases with "
+                         "2/4/6/8/10 colors (--phase-iters each)")
+    ap.add_argument("--phase-iters", type=int, default=400)
+    ap.add_argument("--log-file", default="answer_given_log.jsonl")
+    ap.add_argument("--ckpt-dir", default="./ckpts_answer_given")
+    ap.add_argument("--ckpt-every", type=int, default=100)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args(argv)
+
+    enable_compile_cache(args.ckpt_dir)
+    logger = MetricLogger(args.log_file)
+    env, agent, pcfg = build(args)
+
+    banks = None
+    if args.continual:
+        # §4.1.3: randomly generated as before but the color count
+        # increases across five phases; same 10-op action space.  Banks
+        # share shapes, so phase switches recompile nothing.
+        from ..benchmarks.answer_given import RandomPairLoader
+        banks = [RandomPairLoader(args.n_tasks, args.size, args.size,
+                                  c, args.seed + 100 + c).bank(
+                     H=args.size, W=args.size)
+                 for c in (2, 4, 6, 8, 10)]
+        args.iterations = args.phase_iters * len(banks)
+
+    key = jax.random.key(args.seed)
+    key, ki, kr = jax.random.split(key, 3)
+    bs = env.reset(kr, args.n_envs)
+    params = agent.init_fn(ki, agent.obs_fn(
+        jax.tree.map(lambda x: x[:1], bs.env)))
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"policy params: {n_params:,}", file=sys.stderr)
+    tx = make_optimizer(pcfg)
+    opt_state = tx.init(params)
+
+    include_aux = pcfg.aux_coeff > 0.0
+    T = args.rollout
+    P = args.size * args.size
+    gslice = slice(0, P)   # grid cells lead the answer-given obs layout
+
+    def iteration(env, bs, params, opt_state, key):
+        key, kroll, ktrain = jax.random.split(key, 3)
+        bs, traj, last_v = rollout(env, bs, params, kroll, T, agent)
+        batch = batch_from_trajectory(traj, last_v, pcfg,
+                                      include_aux=include_aux,
+                                      grid_slice=gslice)
+        n_done = traj.dones.sum()
+        n_solved = traj.terminated.sum()
+        extras = {
+            # per-episode statistics over episodes finishing in the window
+            "success_rate": n_solved / jnp.maximum(n_done, 1),
+            "episode_reward_mean":
+                traj.rewards.sum() / jnp.maximum(n_done, 1),
+            "episode_len_mean":
+                (traj.rewards.size / jnp.maximum(n_done, 1)),
+            "episodes": n_done,
+        }
+        params, opt_state, stats = train_step(
+            params, opt_state, batch, ktrain, agent, tx, pcfg)
+        stats = dict(stats)
+        stats.update(extras)
+        stats["_barrier"] = stats["total_loss"] + 0.0
+        return bs, params, opt_state, key, stats
+
+    it_j = jax.jit(iteration)
+    ckpt = Checkpointer(args.ckpt_dir)
+    start = 0
+    if args.resume:
+        tmpl = {"params": params, "opt_state": opt_state,
+                "key": _key_data(key), "iteration": 0}
+        restored = ckpt.restore(tmpl)
+        if restored is not None:
+            params, opt_state = restored["params"], restored["opt_state"]
+            key = _wrap_key(restored["key"])
+            start = int(restored["iteration"]) + 1
+            print(f"resumed from iteration {start - 1}", file=sys.stderr)
+
+    thr = Throughput()
+    t0 = time.perf_counter()
+    phase = -1
+    for i in range(start, args.iterations):
+        if banks is not None:
+            p = min(i // args.phase_iters, len(banks) - 1)
+            if p != phase:
+                phase = p
+                env = dataclasses.replace(env, bank=banks[p])
+                key, kr = jax.random.split(key)
+                bs = env.reset(kr, args.n_envs)
+                print(f"[phase {p}] colors={2 * (p + 1)}", file=sys.stderr)
+        bs, params, opt_state, key, stats = it_j(env, bs, params,
+                                                 opt_state, key)
+        rate = thr.tick(args.n_envs * T, stats["_barrier"])
+        out = {k: float(v) for k, v in stats.items()
+               if not k.startswith("_")}
+        out["env_steps_per_s"] = rate
+        if banks is not None:
+            out["phase"] = phase
+        logger.log(i, out)
+        if i % 10 == 0:
+            print(f"[iter {i}] success={out['success_rate']:.3f} "
+                  f"eprew={out['episode_reward_mean']:.2f} "
+                  f"loss={out['total_loss']:.4f} {rate:,.0f} steps/s "
+                  f"({time.perf_counter() - t0:.0f}s)",
+                  file=sys.stderr, flush=True)
+        if args.ckpt_every and i % args.ckpt_every == 0:
+            ckpt.save(i, {"params": params, "opt_state": opt_state,
+                          "key": _key_data(key), "iteration": i})
+    return params
+
+
+if __name__ == "__main__":
+    main()
