@@ -189,7 +189,8 @@ def make_policy(h: int = 5, w: int = 5, colors: int = 10,
 
 
 def answer_given_agent(model: GPTPolicy,
-                       min_log_std: float = -2.3) -> Agent:
+                       min_log_std: float = -2.3,
+                       sequential: bool = False) -> Agent:
     """Agent over the (grid, answer) observation; the answer rides in the
     policy's second grid slot (the reference GPT feeds ``input`` there —
     here the sufficient state is the answer instead, §4.1).
@@ -212,38 +213,71 @@ def answer_given_agent(model: GPTPolicy,
 
     categorical = model.cfg.bbox_bins > 0
 
+    def _sel_source(params, obs, op, out1):
+        """Where the selection distribution reads from: the single
+        unconditioned pass (non-sequential / color-equivariant — §4.1.2
+        archs (1),(3)), or a second forward with the *sampled operation's*
+        embedding token appended (§4.1.2 arch (2), "sequential policy...
+        requires two forward passes"; the appended bbox token carries a
+        constant 0, only the operation conditions this pass)."""
+        if not sequential:
+            return out1
+        return forward(params, obs, operation=op.astype(jnp.int32),
+                       bbox=jnp.zeros(op.shape + (4,), jnp.float32))
+
     def sample_fn(params, obs, key, deterministic=False):
         out = forward(params, obs)
-        if categorical:
-            s = bbox_dist.sample_categorical(
-                key, out["op_logits"], out["bbox_logits_all"],
-                deterministic)
+        k_op, k_bb = jax.random.split(key)
+        if deterministic:
+            op = jnp.argmax(out["op_logits"], axis=-1)
         else:
-            s = bbox_dist.sample(
-                key, out["op_logits"], out["bbox_mean_all"],
-                out["bbox_std_all"], grid_size, deterministic,
-                min_log_std=min_log_std, quantized_log_prob=True)
-        acts = jnp.concatenate(
-            [s.bbox, s.operation[..., None].astype(jnp.int32)], -1)
-        return acts, s.log_prob, out["value"]
+            op = jax.random.categorical(k_op, out["op_logits"], axis=-1)
+        lp_op = bbox_dist.op_log_softmax_at(out["op_logits"], op)
+        src = _sel_source(params, obs, op, out)
+        if categorical:
+            bl = bbox_dist._select_op_logits(src["bbox_logits_all"], op)
+            if deterministic:
+                coords = jnp.argmax(bl, axis=-1)
+            else:
+                coords = jax.random.categorical(k_bb, bl, axis=-1)
+            ls = jax.nn.log_softmax(bl, axis=-1)
+            classes = jax.lax.broadcasted_iota(jnp.int32,
+                                               (ls.shape[-1],), 0)
+            lp_bb = jnp.sum(
+                ls * (coords[..., None] == classes).astype(ls.dtype), -1
+            ).sum(-1)
+            bbox = coords.astype(jnp.int32)
+        else:
+            dist = bbox_dist.make_dist(src["bbox_mean_all"],
+                                       src["bbox_std_all"], op,
+                                       min_log_std)
+            u = dist.mean() if deterministic else dist.sample(k_bb)
+            u = jnp.clip(u, 0.0, 1.0)
+            bbox = jnp.clip(jnp.floor(u * grid_size), 0,
+                            grid_size - 1).astype(jnp.int32)
+            lp_bb = dist.log_prob(
+                bbox.astype(jnp.float32) / grid_size).sum(-1)
+        acts = jnp.concatenate([bbox, op[..., None].astype(jnp.int32)], -1)
+        return acts, lp_op + lp_bb, out["value"]
 
     def evaluate_fn(params, obs, actions):
         out = forward(params, obs)
         op = actions[..., 4]
+        src = _sel_source(params, obs, op, out)
         if categorical:
             lp = bbox_dist.log_prob_categorical(
-                out["op_logits"], out["bbox_logits_all"], op,
+                out["op_logits"], src["bbox_logits_all"], op,
                 actions[..., :4])
             ent = bbox_dist.entropy_categorical(
-                out["op_logits"], out["bbox_logits_all"], op)
+                out["op_logits"], src["bbox_logits_all"], op)
         else:
             lp = bbox_dist.log_prob(
-                out["op_logits"], out["bbox_mean_all"],
-                out["bbox_std_all"], op, actions[..., :4],
+                out["op_logits"], src["bbox_mean_all"],
+                src["bbox_std_all"], op, actions[..., :4],
                 grid_size, min_log_std=min_log_std)
             ent = bbox_dist.entropy(
-                out["op_logits"], out["bbox_mean_all"],
-                out["bbox_std_all"], op, min_log_std=min_log_std)
+                out["op_logits"], src["bbox_mean_all"],
+                src["bbox_std_all"], op, min_log_std=min_log_std)
         return lp, out["value"], ent
 
     def aux_fn(params, obs, actions):
@@ -278,8 +312,9 @@ class AnswerGivenConfig:
     colors: int = 10
     n_tasks: int = 16384
     episode_limit: int = 50
-    # policy (§4.1.2)
-    arch: str = "color_eq"         # "color_eq" | "nonseq"
+    # policy (§4.1.2): color_eq | nonseq (factorized control) |
+    # sequential (two-pass selection conditioned on the sampled op)
+    arch: str = "color_eq"
     n_layer: int = 4
     n_head: int = 4
     n_embd: int = 128

@@ -55,7 +55,8 @@ def build(args):
         factorized=(args.arch == "nonseq"),
         color_equivariant=(args.arch == "color_eq"),
         bbox_dist_kind=args.bbox_dist)
-    agent = answer_given_agent(policy, min_log_std=args.min_log_std)
+    agent = answer_given_agent(policy, min_log_std=args.min_log_std,
+                               sequential=(args.arch == "sequential"))
     pcfg = PPOConfig(
         gamma=args.gamma, gae_lambda=args.gae_lambda,
         clip_eps=args.clip, vf_clip=10.0, vf_coeff=args.vf_coeff,
@@ -75,7 +76,7 @@ def main(argv=None):
     ap.add_argument("--n-tasks", type=int, default=16384)
     ap.add_argument("--episode-limit", type=int, default=50)
     ap.add_argument("--arch", default="color_eq",
-                    choices=["color_eq", "nonseq"])
+                    choices=["color_eq", "nonseq", "sequential"])
     ap.add_argument("--aux", default="all",
                     choices=["none", "rtm1", "rtm1+rt", "all"])
     ap.add_argument("--aux-coeff", type=float, default=0.3)

@@ -254,6 +254,31 @@ def test_ppo_iteration_runs(aux):
     assert float(traj.rewards.min()) >= -1.0
 
 
+def test_sequential_policy_two_pass():
+    """§4.1.2 arch (2): selection conditioned on the sampled operation via
+    a second forward.  Sampled log-probs must equal evaluate_fn's
+    recomputation at the stored action (PPO ratio 1 at epoch 0)."""
+    model = make_policy(h=5, w=5, colors=6, n_layer=1, n_head=2, n_embd=32,
+                        color_equivariant=False)
+    env = answer_given_env(n_tasks=2, h=5, w=5, colors=6, seed=8)
+    bs = env.reset(jax.random.key(11), 8)
+    agent = answer_given_agent(model, sequential=True)
+    obs = agent.obs_fn(bs.env)
+    params = agent.init_fn(jax.random.key(12), obs)
+    acts, lp, v = agent.sample_fn(params, obs, jax.random.key(13))
+    lp2, v2, ent = agent.evaluate_fn(params, obs, acts)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp2),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v2), rtol=1e-5)
+    # the selection distribution must actually depend on the op: swap the
+    # op of the stored action and check the bbox log-prob changes for at
+    # least some rows (it reads a different conditioned pass)
+    acts2 = np.asarray(acts).copy()
+    acts2[:, 4] = (acts2[:, 4] + 1) % 6
+    lp3, _, _ = agent.evaluate_fn(params, obs, jnp.asarray(acts2))
+    assert not np.allclose(np.asarray(lp3), np.asarray(lp2))
+
+
 def test_categorical_bbox_dist_consistency():
     """The sampled log-prob equals the recomputed log-prob of the stored
     integer action (PPO ratios start at exactly 1), and entropy is the
