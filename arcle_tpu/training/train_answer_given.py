@@ -88,6 +88,13 @@ def main(argv=None):
     ap.add_argument("--iterations", type=int, default=2000)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--gamma", type=float, default=0.95)
+    ap.add_argument("--potential-shaping", action="store_true",
+                    default=True,
+                    help="learner-side potential-based shaping with "
+                         "phi(s) = -wrong/total (policy-invariant; env "
+                         "reward and metrics stay the paper's)")
+    ap.add_argument("--no-potential-shaping", dest="potential_shaping",
+                    action="store_false")
     ap.add_argument("--bbox-dist", default="categorical",
                     choices=["categorical", "truncnorm"],
                     help="selection head: discrete per-coordinate "
@@ -148,9 +155,37 @@ def main(argv=None):
     def iteration(env, bs, params, opt_state, key):
         key, kroll, ktrain = jax.random.split(key, 3)
         bs, traj, last_v = rollout(env, bs, params, kroll, T, agent)
-        batch = batch_from_trajectory(traj, last_v, pcfg,
+        learn_traj = traj
+        if args.potential_shaping:
+            # Policy-invariant potential shaping (Ng et al. 1999) with
+            # phi(s) = -wrong(s)/total — the learner's reward becomes the
+            # per-step *change* in wrongness plus a terminal solve bonus,
+            # so a precise fix earns positive advantage while a harmless
+            # repaint earns ~0.  The env reward, the logged metrics, and
+            # the aux-loss targets below stay the paper's raw reward.
+            # phi(s_{t+1}) == r_t exactly (the §4.1 reward *is* the
+            # potential of the post-step state), phi(terminal) = 0:
+            #   r'_t = r_t + gamma*phi(s_{t+1})*(1-term) - phi(s_t)
+            P_ = args.size * args.size
+            wrong_t = (traj.obs[..., :P_] != traj.obs[..., P_ + 2:
+                                                      2 * P_ + 2]
+                       ).sum(-1).astype(jnp.float32)
+            phi_t = -wrong_t / P_
+            term_f = traj.terminated.astype(jnp.float32)
+            shaped = (traj.rewards * (1.0 + pcfg.gamma * (1.0 - term_f))
+                      - phi_t)
+            learn_traj = traj._replace(rewards=shaped)
+        batch = batch_from_trajectory(learn_traj, last_v, pcfg,
                                       include_aux=include_aux,
                                       grid_slice=gslice)
+        if args.potential_shaping and include_aux:
+            # aux heads still predict the *raw* §4.1 reward
+            flat = lambda x: x.reshape((-1,) + x.shape[2:])
+            raw_prev = jnp.concatenate(
+                [jnp.zeros_like(traj.rewards[:1]),
+                 traj.rewards[:-1] * (1.0 - traj.dones[:-1])], axis=0)
+            batch = batch._replace(rewards=flat(traj.rewards),
+                                   prev_rewards=flat(raw_prev))
         n_done = traj.dones.sum()
         n_solved = traj.terminated.sum()
         extras = {
