@@ -95,8 +95,13 @@ def batch_from_trajectory(traj: Trajectory, last_value: jax.Array,
                     advantages=flat(adv_n), returns=flat(ret), **aux)
 
 
-def ppo_loss(params, agent, batch: PPOBatch, cfg: PPOConfig):
-    """Clipped PPO loss (emaml_policy.py:38-99)."""
+def ppo_loss(params, agent, batch: PPOBatch, cfg: PPOConfig,
+             ent_coeff=None):
+    """Clipped PPO loss (emaml_policy.py:38-99).
+
+    ``ent_coeff`` optionally overrides ``cfg.entropy_coeff`` with a
+    *traced* scalar so drivers can anneal the entropy bonus without
+    recompiling (the answer-given benchmark's exploration schedule)."""
     lp, value, entropy_arr = agent.evaluate_fn(params, batch.obs,
                                                batch.actions)
     ratio = jnp.exp(lp - batch.log_probs)
@@ -115,8 +120,10 @@ def ppo_loss(params, agent, batch: PPOBatch, cfg: PPOConfig):
     entropy = entropy_arr.mean()
     approx_kl = (batch.log_probs - lp).mean()
 
+    if ent_coeff is None:
+        ent_coeff = cfg.entropy_coeff
     total = (policy_loss + cfg.vf_coeff * vf_loss
-             - cfg.entropy_coeff * entropy + cfg.kl_coeff * approx_kl)
+             - ent_coeff * entropy + cfg.kl_coeff * approx_kl)
     stats = {"policy_loss": policy_loss, "vf_loss": vf_loss,
              "entropy": entropy, "kl": approx_kl}
 
@@ -168,7 +175,7 @@ def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
 
 def train_step(params, opt_state, batch: PPOBatch, key: jax.Array,
                agent, tx: optax.GradientTransformation,
-               cfg: PPOConfig):
+               cfg: PPOConfig, ent_coeff=None):
     """n_epochs x n_minibatches PPO updates on one batch (pure)."""
     n = batch.obs.shape[0]
     mb = max(1, n // cfg.n_minibatches)
@@ -178,7 +185,7 @@ def train_step(params, opt_state, batch: PPOBatch, key: jax.Array,
         # pure-overhead gather over the whole [N, D] batch (~1 GB at
         # N=400k) — skip it, the update is order-invariant
         (loss, stats), grads = jax.value_and_grad(
-            ppo_loss, has_aux=True)(params, agent, batch, cfg)
+            ppo_loss, has_aux=True)(params, agent, batch, cfg, ent_coeff)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, stats
@@ -194,7 +201,7 @@ def train_step(params, opt_state, batch: PPOBatch, key: jax.Array,
                 lambda x: jax.lax.dynamic_slice_in_dim(x, i * mb, mb, 0),
                 shuf)
             (loss, stats), grads = jax.value_and_grad(
-                ppo_loss, has_aux=True)(params, agent, sl, cfg)
+                ppo_loss, has_aux=True)(params, agent, sl, cfg, ent_coeff)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), stats

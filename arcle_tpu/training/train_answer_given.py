@@ -107,7 +107,15 @@ def main(argv=None):
     ap.add_argument("--gae-lambda", type=float, default=0.95)
     ap.add_argument("--clip", type=float, default=0.2)
     ap.add_argument("--vf-coeff", type=float, default=0.5)
-    ap.add_argument("--ent-coeff", type=float, default=0.01)
+    ap.add_argument("--ent-coeff", type=float, default=0.01,
+                    help="final entropy bonus (after annealing)")
+    ap.add_argument("--ent-coeff-start", type=float, default=0.1,
+                    help="initial entropy bonus during the discovery "
+                         "phase (keeps the selection heads diffuse so "
+                         "precise single-cell actions keep occurring)")
+    ap.add_argument("--ent-anneal-iters", type=int, default=1500,
+                    help="iterations to anneal ent-coeff-start -> "
+                         "ent-coeff; 0 = constant --ent-coeff")
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--minibatches", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
@@ -152,7 +160,7 @@ def main(argv=None):
     P = args.size * args.size
     gslice = slice(0, P)   # grid cells lead the answer-given obs layout
 
-    def iteration(env, bs, params, opt_state, key):
+    def iteration(env, bs, params, opt_state, key, ent_coeff):
         key, kroll, ktrain = jax.random.split(key, 3)
         bs, traj, last_v = rollout(env, bs, params, kroll, T, agent)
         learn_traj = traj
@@ -198,13 +206,24 @@ def main(argv=None):
             "episodes": n_done,
         }
         params, opt_state, stats = train_step(
-            params, opt_state, batch, ktrain, agent, tx, pcfg)
+            params, opt_state, batch, ktrain, agent, tx, pcfg, ent_coeff)
         stats = dict(stats)
         stats.update(extras)
         stats["_barrier"] = stats["total_loss"] + 0.0
         return bs, params, opt_state, key, stats
 
     it_j = jax.jit(iteration)
+
+    def ent_schedule(i):
+        """Annealed exploration: hold --ent-coeff-start for the discovery
+        phase, then decay linearly to --ent-coeff by --ent-anneal-iters
+        (a traced scalar — no recompiles across the schedule)."""
+        if args.ent_anneal_iters <= 0:
+            return jnp.asarray(args.ent_coeff, jnp.float32)
+        frac = min(max(i / args.ent_anneal_iters, 0.0), 1.0)
+        v = args.ent_coeff_start + (args.ent_coeff
+                                    - args.ent_coeff_start) * frac
+        return jnp.asarray(v, jnp.float32)
     ckpt = Checkpointer(args.ckpt_dir)
     start = 0
     if args.resume:
@@ -230,7 +249,8 @@ def main(argv=None):
                 bs = env.reset(kr, args.n_envs)
                 print(f"[phase {p}] colors={2 * (p + 1)}", file=sys.stderr)
         bs, params, opt_state, key, stats = it_j(env, bs, params,
-                                                 opt_state, key)
+                                                 opt_state, key,
+                                                 ent_schedule(i))
         rate = thr.tick(args.n_envs * T, stats["_barrier"])
         out = {k: float(v) for k, v in stats.items()
                if not k.startswith("_")}
