@@ -80,6 +80,26 @@ def test_match_any_flat_and_square():
     np.testing.assert_array_equal(m, ref)
 
 
+def test_reward_helpers_flat_layout():
+    """pixel_reward / answers_match_any on flat [900] grid leaves (the
+    30x30 engine's flattened carry layout) agree with the square path."""
+    from arcle_tpu.envs.core import flatten_grids
+    from arcle_tpu.loaders import SyntheticLoader
+    from arcle_tpu.envs import BatchedEnv
+    from arcle_tpu.ops import o2arc_table
+
+    env = BatchedEnv(table=o2arc_table(), bank=SyntheticLoader(4).bank())
+    bs = env.reset(jax.random.key(0), 8)
+    sq = bs.env
+    fl = flatten_grids(sq)
+    r_sq = np.asarray(jax.vmap(pixel_reward)(sq))
+    r_fl = np.asarray(jax.vmap(pixel_reward)(fl))
+    np.testing.assert_allclose(r_sq, r_fl, rtol=1e-6)
+    m_sq = np.asarray(jax.vmap(answers_match_any)(sq))
+    m_fl = np.asarray(jax.vmap(answers_match_any)(fl))
+    np.testing.assert_array_equal(m_sq, m_fl)
+
+
 def test_color_table_shape():
     t = color_table(10)
     assert t.n_ops == 10
