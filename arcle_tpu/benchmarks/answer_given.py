@@ -86,11 +86,28 @@ def small_arc_loader(n_tasks: int = 512, max_size: int = 5,
     """The paper's **ARC setting**: initial grids and goals at most 5x5
     from ARC tasks (§4.1).  The real corpus is absent from this mount
     (SURVEY §2.1 #1), so ARC-like synthetic tasks stand in — same
-    structural envelope (consistent hidden rule per task, dims <= 5)."""
-    from ..loaders.synthetic import SyntheticLoader
-    return SyntheticLoader(n_tasks, seed=seed, min_size=2,
-                           max_size=max_size, n_train=2, n_test=1,
-                           colors=colors)
+    structural envelope (consistent hidden rule per task, dims <= 5).
+
+    Only shape-preserving pairs are kept: with Color ops alone the grid
+    dims can never change, so a pair whose answer dims differ from its
+    input dims is unsolvable in this setting (the paper can only have
+    used such tasks)."""
+    from ..loaders.loader import ListLoader
+    from ..loaders.synthetic import make_tasks
+    kept: List[TaskTuple] = []
+    batch_seed = seed
+    while len(kept) < n_tasks:
+        for t in make_tasks(n_tasks, seed=batch_seed, min_size=2,
+                            max_size=max_size, n_train=2, n_test=1,
+                            colors=colors):
+            ti, to, ei, eo, d = t
+            if all(i.shape == o.shape
+                   for i, o in zip(ti + ei, to + eo)):
+                kept.append(t)
+                if len(kept) >= n_tasks:
+                    break
+        batch_seed += 1000003
+    return ListLoader(kept)
 
 
 # ---------------------------------------------------------------------------
