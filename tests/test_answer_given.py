@@ -335,3 +335,63 @@ def test_answer_obs_layout():
     np.testing.assert_array_equal(
         np.asarray(obs[:, 27:52].reshape(2, 5, 5)).astype(np.int8),
         np.asarray(bs.env.answer))
+
+
+# ---------------------------------------------------------------------------
+# ARC setting (paper Fig. 5 left panel) and continual setting (Fig. 7)
+# ---------------------------------------------------------------------------
+def test_small_arc_loader_shape_preserving():
+    """The ARC-setting task distribution keeps only shape-preserving
+    pairs (Color ops cannot change grid dims) and respects the <=5x5
+    envelope of the paper's filtered ARC subset."""
+    from arcle_tpu.benchmarks.answer_given import small_arc_loader
+    loader = small_arc_loader(n_tasks=32, max_size=5, colors=10, seed=3)
+    tasks = loader.parse()
+    assert len(tasks) == 32
+    for ti, to, ei, eo, _desc in tasks:
+        for i, o in zip(ti + ei, to + eo):
+            assert i.shape == o.shape
+            assert max(i.shape) <= 5
+            assert i.min() >= 0 and i.max() < 10
+
+
+def test_arc_setting_env():
+    """--setting arc wires the filtered loader into the answer-given env:
+    every reset pair has grid_dim == answer_dim (solvable under Color
+    ops), rewards stay in the paper's [-1, 0] band."""
+    env = answer_given_env(n_tasks=16, setting="arc", seed=1,
+                           episode_limit=8)
+    bs = env.reset(jax.random.key(0), 8)
+    np.testing.assert_array_equal(np.asarray(bs.env.grid_dim),
+                                  np.asarray(bs.env.answer_dim))
+    sel = np.zeros((8, 5, 5), np.int8)
+    sel[:, 0, 0] = 1
+    _, _, rew, term, _ = env.step(
+        bs, Action(selection=jnp.asarray(sel),
+                   operation=jnp.zeros((8,), jnp.int32)))
+    r = np.asarray(rew)
+    assert np.all(r <= 0.0) and np.all(r >= -1.0)
+
+
+def test_continual_phase_banks_shape_stable():
+    """§4.1.3 continual setting: the five phase banks (2/4/6/8/10 colors)
+    are shape- and dtype-identical pytrees, so the driver's
+    dataclasses.replace(env, bank=...) phase switch recompiles nothing;
+    each bank's colors stay within its phase palette."""
+    banks = [RandomPairLoader(16, 5, 5, c, seed=100 + c).bank(H=5, W=5)
+             for c in (2, 4, 6, 8, 10)]
+    ref = jax.tree.map(lambda x: (x.shape, x.dtype), banks[0])
+    for b, c in zip(banks, (2, 4, 6, 8, 10)):
+        assert jax.tree.map(lambda x: (x.shape, x.dtype), b) == ref
+        assert int(jnp.max(b.in_grids)) < c
+        assert int(jnp.max(b.out_grids)) < c
+
+    env = answer_given_env(n_tasks=16, h=5, w=5, colors=2, seed=0)
+    bs = env.reset(jax.random.key(1), 4)
+    sel = jnp.asarray(np.eye(5, dtype=np.int8)[None, :, :].repeat(4, 0))
+    act = Action(selection=sel, operation=jnp.zeros((4,), jnp.int32))
+    for b in banks[1:]:
+        env = dataclasses.replace(env, bank=b)
+        bs = env.reset(jax.random.key(2), 4)
+        _, _, rew, _, _ = env.step(bs, act)
+        assert np.all(np.asarray(rew) <= 0.0)
