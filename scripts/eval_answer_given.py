@@ -30,7 +30,7 @@ def evaluate(ckpt_dir: str, step=None, n_envs: int = 512,
              steps: int = 50, colors: int = 10, size: int = 5,
              seed: int = 1234, arch: str = "color_eq",
              n_layer: int = 4, n_head: int = 4, n_embd: int = 128,
-             bbox_dist: str = "categorical"):
+             bbox_dist: str = "categorical", setting: str = "random"):
     model = make_policy(h=size, w=size, colors=colors, n_layer=n_layer,
                         n_head=n_head, n_embd=n_embd,
                         factorized=(arch == "nonseq"),
@@ -38,7 +38,8 @@ def evaluate(ckpt_dir: str, step=None, n_envs: int = 512,
                         bbox_dist_kind=bbox_dist)
     agent = answer_given_agent(model, sequential=(arch == "sequential"))
     env = answer_given_env(n_tasks=4096, h=size, w=size, colors=colors,
-                           seed=seed, episode_limit=steps)
+                           seed=seed, episode_limit=steps,
+                           setting=setting)
     key = jax.random.key(seed)
     bs = env.reset(key, n_envs)
     params0 = agent.init_fn(key, agent.obs_fn(
@@ -94,9 +95,11 @@ def main(argv=None):
     ap.add_argument("--arch", default="color_eq")
     ap.add_argument("--bbox-dist", default="categorical")
     ap.add_argument("--seed", type=int, default=1234)
+    ap.add_argument("--setting", default="random",
+                    choices=["random", "arc"])
     a = ap.parse_args(argv)
     evaluate(a.ckpt_dir, a.step, a.n_envs, a.steps, a.colors, a.size,
-             a.seed, a.arch, bbox_dist=a.bbox_dist)
+             a.seed, a.arch, bbox_dist=a.bbox_dist, setting=a.setting)
 
 
 if __name__ == "__main__":
