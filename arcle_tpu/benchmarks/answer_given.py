@@ -169,6 +169,26 @@ def answer_obs(state: EnvState) -> jax.Array:
     ], axis=-1)
 
 
+def shaping_potential(obs: jax.Array, h: int, w: int) -> jax.Array:
+    """phi(s) = -(wrong cells inside ``answer_dim``)/(answer area) read
+    straight off the flat answer-given observation (any leading batch
+    dims).  By construction this equals :func:`arcle_tpu.ops.table
+    .pixel_reward` of the same state, so the driver's potential-based
+    shaping (phi(s_{t+1}) == r_t) is exactly policy-invariant in the ARC
+    setting too, where dims can be smaller than ``h x w``."""
+    P = h * w
+    g = obs[..., :P]
+    a = obs[..., P + 2:2 * P + 2]
+    ad = obs[..., 2 * P + 2:2 * P + 4]
+    idx = jnp.arange(P, dtype=jnp.float32)
+    r_idx = jnp.floor(idx / w)
+    c_idx = idx - r_idx * w
+    inside = (r_idx < ad[..., :1]) & (c_idx < ad[..., 1:2])
+    wrong = jnp.where(inside, g != a, False).sum(-1).astype(jnp.float32)
+    area = jnp.maximum(ad[..., 0] * ad[..., 1], 1.0)
+    return -wrong / area
+
+
 def _unpack(obs: jax.Array, h: int, w: int):
     p = h * w
     grid = obs[..., :p].astype(jnp.int8).reshape(*obs.shape[:-1], h, w)

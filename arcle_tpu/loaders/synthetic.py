@@ -105,6 +105,82 @@ def write_corpus(root: str, n_tasks: int = 400, n_train: int = 6,
     return pairs
 
 
+def write_real_layout_fixture(root: str, n_train: int = 400,
+                              n_eval: int = 400, n_mini: int = 149,
+                              seed: int = 23) -> dict:
+    """Materialize a fixture tree that mimics the *real* corpora layouts
+    the loaders were written for (reference loader.py:72-87,116-157),
+    since the actual submodules are absent from this mount:
+
+    * ARC: ``<root>/ARC/data/{training|evaluation}/<8-hex-id>.json`` —
+      400/400 tasks, 2-10 train + 1-3 test pairs, grids 1x1..30x30.
+    * Mini-ARC: ``<root>/Mini-ARC/data/MiniARC/<description>_<id>.json``
+      — 5x5 grids, messy human filenames (spaces, apostrophes, multiple
+      underscores, description-free names) and literal ``null`` cells in
+      a fraction of files (the quirk the loader's raw-text null->"0"
+      replacement exists for).
+
+    Returns {"arc_training": dir, "arc_evaluation": dir, "miniarc": dir,
+    "n_null_files": int, "expected_mini_order": [ids...]}.
+    """
+    rng = np.random.default_rng(seed)
+
+    def dump_json(task: TaskTuple, path: str, with_null: bool = False):
+        ti, to, ei, eo, _ = task
+        payload = {
+            "train": [{"input": i.tolist(), "output": o.tolist()}
+                      for i, o in zip(ti, to)],
+            "test": [{"input": i.tolist(), "output": o.tolist()}
+                     for i, o in zip(ei, eo)],
+        }
+        text = json.dumps(payload)
+        if with_null:
+            # the real Mini-ARC files carry literal nulls for empty cells
+            text = text.replace("0", "null")
+        with open(path, "w") as fp:
+            fp.write(text)
+
+    arc_root = os.path.join(root, "ARC", "data")
+    for sub, n in (("training", n_train), ("evaluation", n_eval)):
+        d = os.path.join(arc_root, sub)
+        os.makedirs(d, exist_ok=True)
+        for _ in range(n):
+            tid = "".join(rng.choice(list("0123456789abcdef"), 8))
+            task = make_task(rng, min_size=1, max_size=30,
+                             n_train=int(rng.integers(2, 11)),
+                             n_test=int(rng.integers(1, 4)))
+            dump_json(task, os.path.join(d, f"{tid}.json"))
+
+    mini_dir = os.path.join(root, "Mini-ARC", "data", "MiniARC")
+    os.makedirs(mini_dir, exist_ok=True)
+    descs = ["Make a pattern symmetric", "Deleting left object",
+             "color the largest shape", "move object down",
+             "fill holes", "rotate the grid's shape",
+             "count_and_paint objects", ""]
+    n_null_files = 0
+    names = []
+    for k in range(n_mini):
+        tid = "".join(rng.choice(list(
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+        ), 20))
+        desc = descs[k % len(descs)]
+        fname = f"{desc}_{tid}.json" if desc else f"{tid}.json"
+        task = make_task(rng, min_size=5, max_size=5,
+                         n_train=int(rng.integers(2, 5)), n_test=1)
+        with_null = (k % 3 == 0)
+        n_null_files += int(with_null)
+        dump_json(task, os.path.join(mini_dir, fname), with_null)
+        names.append(fname)
+    # the loader sorts by fn.split('_')[-1] over FULL paths
+    expected = sorted((os.path.join(mini_dir, n) for n in names),
+                      key=lambda fn: fn.split("_")[-1])
+    return {"arc_training": os.path.join(arc_root, "training"),
+            "arc_evaluation": os.path.join(arc_root, "evaluation"),
+            "arc_root": arc_root, "miniarc_dir": mini_dir,
+            "n_null_files": n_null_files,
+            "expected_mini_order": expected}
+
+
 def write_sample_dataset(root: str, n_train_tasks: int = 16,
                          n_eval_tasks: int = 8, n_mini: int = 8,
                          seed: int = 7) -> None:

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ..benchmarks.answer_given import (
-    answer_given_agent, answer_given_env, make_policy,
+    answer_given_agent, answer_given_env, make_policy, shaping_potential,
 )
 from ..utils.checkpoint import Checkpointer
 from ..utils.metrics import MetricLogger, Throughput
@@ -131,6 +131,18 @@ def main(argv=None):
 
     enable_compile_cache(args.ckpt_dir)
     logger = MetricLogger(args.log_file)
+    # provenance header so a committed log is interpretable later
+    # (config, argv, git sha) — advisor round-3 finding
+    try:
+        import subprocess
+        sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True,
+                             timeout=5).stdout.strip()
+    except Exception:
+        sha = ""
+    logger.log(-1, {"_meta": True, "argv": list(argv or sys.argv[1:]),
+                    "config": {k: v for k, v in vars(args).items()},
+                    "git_sha": sha})
     env, agent, pcfg = build(args)
 
     banks = None
@@ -166,19 +178,20 @@ def main(argv=None):
         learn_traj = traj
         if args.potential_shaping:
             # Policy-invariant potential shaping (Ng et al. 1999) with
-            # phi(s) = -wrong(s)/total — the learner's reward becomes the
-            # per-step *change* in wrongness plus a terminal solve bonus,
-            # so a precise fix earns positive advantage while a harmless
-            # repaint earns ~0.  The env reward, the logged metrics, and
-            # the aux-loss targets below stay the paper's raw reward.
-            # phi(s_{t+1}) == r_t exactly (the §4.1 reward *is* the
-            # potential of the post-step state), phi(terminal) = 0:
+            # phi(s) = -(wrong cells inside answer_dim)/(answer area) —
+            # the learner's reward becomes the per-step *change* in
+            # wrongness plus a terminal solve bonus, so a precise fix
+            # earns positive advantage while a harmless repaint earns ~0.
+            # The env reward, the logged metrics, and the aux-loss targets
+            # below stay the paper's raw reward.
+            # phi must be computed over the SAME cells as pixel_reward
+            # (ops/table.py pixel_reward: inside answer_dim only) so that
+            # phi(s_{t+1}) == r_t exactly and the telescoping identity
             #   r'_t = r_t + gamma*phi(s_{t+1})*(1-term) - phi(s_t)
-            P_ = args.size * args.size
-            wrong_t = (traj.obs[..., :P_] != traj.obs[..., P_ + 2:
-                                                      2 * P_ + 2]
-                       ).sum(-1).astype(jnp.float32)
-            phi_t = -wrong_t / P_
+            # holds.  (In the ARC setting dims can be < size x size; an
+            # all-cells phi here would NOT be potential-based and biases
+            # small tasks — the round-3 ARC run's regression.)
+            phi_t = shaping_potential(traj.obs, args.size, args.size)
             term_f = traj.terminated.astype(jnp.float32)
             shaped = (traj.rewards * (1.0 + pcfg.gamma * (1.0 - term_f))
                       - phi_t)

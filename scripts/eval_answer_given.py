@@ -30,7 +30,16 @@ def evaluate(ckpt_dir: str, step=None, n_envs: int = 512,
              steps: int = 50, colors: int = 10, size: int = 5,
              seed: int = 1234, arch: str = "color_eq",
              n_layer: int = 4, n_head: int = 4, n_embd: int = 128,
-             bbox_dist: str = "categorical", setting: str = "random"):
+             bbox_dist: str = "categorical", setting: str = "random",
+             env_seed=None):
+    """``env_seed`` controls the eval task bank.  It defaults to
+    ``seed + 900001`` — a fixed offset so that evaluating with the same
+    ``--seed`` a training run used still draws a *disjoint* task set
+    (the bank is regenerated deterministically from its seed; in the
+    finite ARC setting the offset is what realizes the train/eval
+    split).  Pass ``--env-seed`` explicitly to pin a specific bank."""
+    if env_seed is None:
+        env_seed = seed + 900001
     model = make_policy(h=size, w=size, colors=colors, n_layer=n_layer,
                         n_head=n_head, n_embd=n_embd,
                         factorized=(arch == "nonseq"),
@@ -38,7 +47,7 @@ def evaluate(ckpt_dir: str, step=None, n_envs: int = 512,
                         bbox_dist_kind=bbox_dist)
     agent = answer_given_agent(model, sequential=(arch == "sequential"))
     env = answer_given_env(n_tasks=4096, h=size, w=size, colors=colors,
-                           seed=seed, episode_limit=steps,
+                           seed=env_seed, episode_limit=steps,
                            setting=setting)
     key = jax.random.key(seed)
     bs = env.reset(key, n_envs)
@@ -95,11 +104,16 @@ def main(argv=None):
     ap.add_argument("--arch", default="color_eq")
     ap.add_argument("--bbox-dist", default="categorical")
     ap.add_argument("--seed", type=int, default=1234)
+    ap.add_argument("--env-seed", type=int, default=None,
+                    help="eval task-bank seed; default seed+900001 so "
+                         "reusing the training --seed still evaluates "
+                         "on a disjoint bank")
     ap.add_argument("--setting", default="random",
                     choices=["random", "arc"])
     a = ap.parse_args(argv)
     evaluate(a.ckpt_dir, a.step, a.n_envs, a.steps, a.colors, a.size,
-             a.seed, a.arch, bbox_dist=a.bbox_dist, setting=a.setting)
+             a.seed, a.arch, bbox_dist=a.bbox_dist, setting=a.setting,
+             env_seed=a.env_seed)
 
 
 if __name__ == "__main__":

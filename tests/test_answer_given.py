@@ -372,6 +372,53 @@ def test_arc_setting_env():
     r = np.asarray(rew)
     assert np.all(r <= 0.0) and np.all(r >= -1.0)
 
+    # the match/termination path on ARC-setting dims (< 5x5 allowed):
+    # hand the env a state whose grid already equals its answer outside
+    # one wrong cell, fix that cell, and require reward 0 + terminated
+    import dataclasses as _dc
+    env_nr = _dc.replace(env, auto_reset=False)
+    bs = env.reset(jax.random.key(3), 8)
+    g = np.asarray(bs.env.answer).copy()
+    ad = np.asarray(bs.env.answer_dim)
+    wrong_color = (g[:, 0, 0] + 1) % 10
+    g[:, 0, 0] = wrong_color
+    bs = _dc.replace(bs, env=_dc.replace(
+        bs.env, grid=jnp.asarray(g),
+        grid_dim=jnp.asarray(ad)))
+    fix_sel = np.zeros((8, 5, 5), np.int8)
+    fix_sel[:, 0, 0] = 1
+    correct = np.asarray(bs.env.answer)[:, 0, 0].astype(np.int32)
+    _, _, rew, term, _ = env_nr.step(
+        bs, Action(selection=jnp.asarray(fix_sel),
+                   operation=jnp.asarray(correct)))
+    np.testing.assert_allclose(np.asarray(rew), 0.0)
+    assert np.all(np.asarray(term))
+
+
+def test_shaping_potential_matches_pixel_reward():
+    """The driver's shaping potential phi(s) must equal pixel_reward(s)
+    cell-for-cell — including on ARC-setting states with dims < 5x5 —
+    or the shaping stops being potential-based (round-3 ARC regression)."""
+    from arcle_tpu.benchmarks.answer_given import (
+        answer_obs, shaping_potential)
+    from arcle_tpu.ops.table import pixel_reward
+
+    env = answer_given_env(n_tasks=32, setting="arc", seed=7,
+                           episode_limit=8)
+    bs = env.reset(jax.random.key(5), 16)
+    # scribble on the grids so phi sees nontrivial wrongness, including
+    # cells OUTSIDE answer_dim (which pixel_reward must ignore)
+    rng = np.random.default_rng(0)
+    g = np.asarray(bs.env.grid).copy()
+    g[:, :, :] = rng.integers(0, 10, g.shape).astype(np.int8)
+    import dataclasses as _dc
+    st = _dc.replace(bs.env, grid=jnp.asarray(g))
+    phi = np.asarray(shaping_potential(answer_obs(st), 5, 5))
+    ref = np.asarray(jax.vmap(pixel_reward)(st))
+    np.testing.assert_allclose(phi, ref, atol=1e-6)
+    # dims < 5x5 must actually occur in this fixture or the test is void
+    assert (np.asarray(st.answer_dim).prod(axis=-1) < 25).any()
+
 
 def test_continual_phase_banks_shape_stable():
     """§4.1.3 continual setting: the five phase banks (2/4/6/8/10 colors)
