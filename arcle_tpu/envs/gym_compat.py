@@ -43,12 +43,14 @@ class JaxARCEnvBase(gym.Env):
                  max_grid_size: Tuple[int, int] = (30, 30),
                  colors: int = 10, max_trial: int = -1,
                  render_mode: Optional[str] = None,
-                 render_size: Optional[Tuple[int, int]] = None) -> None:
+                 render_size: Optional[Tuple[int, int]] = None,
+                 backend: str = "auto") -> None:
         assert render_mode is None or render_mode in self.metadata["render_modes"]
         # The engine's whole-grid kernels assume square frames (the
         # reference's own envs/datasets only ever use square sizes).
         assert max_grid_size[0] == max_grid_size[1], (
             "arcle_tpu supports square max_grid_size only")
+        assert backend in ("auto", "native", "jax")
         self.loader = data_loader if data_loader is not None else ARCLoader()
         self.H, self.W = max_grid_size
         self.max_grid_size = max_grid_size
@@ -59,6 +61,20 @@ class JaxARCEnvBase(gym.Env):
         self.rendering = None
 
         self.table = self._make_table(max_trial)
+        # Interactive B=1 stepping is dispatch-bound on an accelerator
+        # (~ms per step round-trip); the native C++ engine (bit-exact vs
+        # the oracle/reference, tests/test_native_engine.py) steps at
+        # ~70k steps/s.  "auto" uses it whenever the toolchain builds it;
+        # backend="jax" forces device stepping (e.g. for subclasses that
+        # reach into EnvState internals).
+        self._native = None
+        if backend != "jax" and self.H <= 30 and self.W <= 30:
+            from ..native import NativeEngine, engine_available
+            if engine_available():
+                self._native = NativeEngine(self.table, self.H, self.W,
+                                            max_trial)
+            elif backend == "native":
+                raise RuntimeError("native engine unavailable")
         self.op_names: List[str] = list(self.table.op_names())
         # reference exposes `operations` as the op list; wrappers only use
         # its length, so names stand in for the closures here.
@@ -151,7 +167,11 @@ class JaxARCEnvBase(gym.Env):
         self.info = self.init_info()
         return self._observation(), self.info
 
-    def _fresh_state(self) -> EnvState:
+    def _fresh_state(self) -> Optional[EnvState]:
+        if self._native is not None:
+            self._native.reset(self.input_, self.answer,
+                               reset_on_submit=bool(self.reset_on_submit))
+            return None
         pi = np.zeros((self.H, self.W), np.int8)
         pi[:self.input_.shape[0], :self.input_.shape[1]] = self.input_
         pa = np.zeros((self.H, self.W), np.int8)
@@ -178,6 +198,21 @@ class JaxARCEnvBase(gym.Env):
 
     def step(self, action: Dict):
         op = int(action["operation"])
+        if self._native is not None:
+            reward, term = self._native.step(
+                np.asarray(action["selection"], np.int8), op)
+            self.last_action = action
+            self.last_action_op = op
+            self.last_reward = reward
+            self.action_steps += 1
+            self.submit_count = int(self._native._st.submit_count)
+            self.info["steps"] = self.action_steps
+            if "submit_count" in self.info:
+                self.info["submit_count"] = self.submit_count
+            if self.render_mode:
+                self.render()
+            return (self._observation(), reward, bool(term),
+                    self.truncated, self.info)
         act = Action(selection=jnp.asarray(action["selection"], jnp.int8),
                      operation=jnp.asarray(op, jnp.int32))
         self._state, reward, term = _JIT_STEP(self._state, act, self.table)
@@ -200,6 +235,10 @@ class JaxARCEnvBase(gym.Env):
         return np.asarray(x)
 
     def _observation(self) -> Dict:
+        if self._native is not None:
+            # zero-copy views over the engine state — the reference's
+            # current_state aliases its mutable dict the same way
+            return self._native.observation(self._obs_keys)
         s = self._state
         obs = {
             "trials_remain": self._np(s.trials_remain).reshape(1),
@@ -246,9 +285,9 @@ class RawARCEnv(JaxARCEnvBase):
 
     def __init__(self, data_loader: Optional[Loader] = None,
                  max_grid_size=(30, 30), colors=10, max_trial=-1,
-                 render_mode=None, render_size=None):
+                 render_mode=None, render_size=None, backend="auto"):
         super().__init__(data_loader, max_grid_size, colors, max_trial,
-                         render_mode, render_size)
+                         render_mode, render_size, backend)
 
     def _make_table(self, max_trial: int) -> OpTable:
         return raw_table(max_trial)
@@ -263,9 +302,9 @@ class ARCEnv(JaxARCEnvBase):
 
     def __init__(self, data_loader: Optional[Loader] = None,
                  max_grid_size=(30, 30), colors=10, max_trial=3,
-                 render_mode=None, render_size=None):
+                 render_mode=None, render_size=None, backend="auto"):
         super().__init__(data_loader, max_grid_size, colors, max_trial,
-                         render_mode, render_size)
+                         render_mode, render_size, backend)
 
     def _make_table(self, max_trial: int) -> OpTable:
         return arc_table(max_trial)
@@ -292,9 +331,9 @@ class O2ARCv2Env(JaxARCEnvBase):
 
     def __init__(self, data_loader: Optional[Loader] = None,
                  max_grid_size=(30, 30), colors=10, max_trial=-1,
-                 render_mode=None, render_size=None):
+                 render_mode=None, render_size=None, backend="auto"):
         super().__init__(data_loader, max_grid_size, colors, max_trial,
-                         render_mode, render_size)
+                         render_mode, render_size, backend)
 
     def _make_table(self, max_trial: int) -> OpTable:
         return o2arc_table(max_trial)

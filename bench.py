@@ -288,6 +288,40 @@ def bench_scaling(batch_per_device: int, steps: int):
     return results
 
 
+def bench_single_env_adapter(n_steps: int = 30000, seed: int = 0) -> float:
+    """BASELINE config 1 the way a *user* runs it: the gym adapter
+    (``RawARCEnv`` + MiniARC loader) stepped one action at a time — the
+    same surface `bench_reference_numpy` measures on the reference.  The
+    adapter routes B=1 through the native C++ engine (bit-exact vs the
+    oracle, tests/test_native_engine.py), so the interactive path beats
+    the reference instead of paying per-step device dispatch."""
+    import numpy as _np
+    from arcle_tpu.envs.gym_compat import RawARCEnv
+    from arcle_tpu.loaders import MiniARCLoader
+
+    rng = _np.random.default_rng(seed)
+    env = RawARCEnv(data_loader=MiniARCLoader(), max_trial=-1)
+    env.reset(seed=seed, options={"prob_index": 0, "subprob_index": 0})
+    n_ops = len(env.operations)
+    log(f"single-env adapter backend: "
+        f"{'native' if env._native is not None else 'jax'}")
+    t0 = time.perf_counter()
+    done = 0
+    while done < n_steps:
+        x1, x2 = sorted(rng.integers(0, 30, 2).tolist())
+        y1, y2 = sorted(rng.integers(0, 30, 2).tolist())
+        sel = np.zeros((30, 30), np.int8)
+        sel[x1:x2 + 1, y1:y2 + 1] = 1
+        _, _, term, _, _ = env.step(
+            {"selection": sel, "operation": int(rng.integers(0, n_ops))})
+        done += 1
+        if term:
+            env.reset(options={"prob_index": 0, "subprob_index": 0})
+    rate = done / (time.perf_counter() - t0)
+    log(f"single-env gym adapter: {rate:,.0f} steps/s")
+    return rate
+
+
 def bench_baseline_configs(steps: int) -> dict:
     """BASELINE.json configs 1-3 (Raw@1 and @256, ARCEnv+Point@1024) plus
     the reset/auto-reset gather cost on a reference-scale (~3200-pair)
@@ -304,9 +338,9 @@ def bench_baseline_configs(steps: int) -> dict:
 
     out = {}
     mini_bank = MiniARCLoader().bank()
-    # config 1: RawARCEnv + MiniARCLoader, 1 env
-    out["raw_miniarc_1env"] = round(bench_tpu(
-        1, steps, 2, table=raw_table(max_trial=-1), bank=mini_bank))
+    # config 1: RawARCEnv + MiniARCLoader, 1 env — the interactive gym
+    # surface (native C++ engine at B=1)
+    out["raw_miniarc_1env"] = round(bench_single_env_adapter())
     # config 2: RawARCEnv + ARC-format corpus, 256 envs
     with tempfile.TemporaryDirectory() as td:
         t0 = _time.perf_counter()

@@ -125,3 +125,38 @@ def test_ansi_render_smoke(capsys):
     env.step({"selection": sel, "operation": 3})
     out = capsys.readouterr().out
     assert "Problem Description" in out and "\033[48;5;" in out
+
+
+def test_backend_parity_native_vs_jax():
+    """The adapter's two backends (native C++ engine vs jitted device
+    step) must produce identical observations/rewards step for step."""
+    from arcle_tpu.native import engine_available
+    import pytest as _pytest
+    if not engine_available():
+        _pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(42)
+    envs = [O2ARCv2Env(data_loader=SyntheticLoader(3, seed=9), backend=b)
+            for b in ("native", "jax")]
+    assert envs[0]._native is not None and envs[1]._native is None
+    obs = [e.reset(seed=0, options={"prob_index": 1, "subprob_index": 0})[0]
+           for e in envs]
+    for t in range(60):
+        sel = np.zeros((30, 30), np.int8)
+        if t % 3 != 0:
+            x1, x2 = sorted(rng.integers(0, 30, 2).tolist())
+            y1, y2 = sorted(rng.integers(0, 30, 2).tolist())
+            sel[x1:x2 + 1, y1:y2 + 1] = 1
+        op = int(rng.integers(0, 35))
+        act = {"selection": sel, "operation": op}
+        outs = [e.step(act) for e in envs]
+        (o_n, r_n, t_n, _, i_n), (o_j, r_j, t_j, _, i_j) = outs
+        assert r_n == r_j and t_n == t_j, (t, op)
+        for k in ("grid", "grid_dim", "selected", "clip", "clip_dim",
+                  "trials_remain", "terminated"):
+            np.testing.assert_array_equal(o_n[k], o_j[k],
+                                          err_msg=f"step {t} op {op}: {k}")
+        for k in ("object", "object_sel", "object_pos", "object_dim",
+                  "active", "background", "rotation_parity"):
+            np.testing.assert_array_equal(
+                o_n["object_states"][k], o_j["object_states"][k],
+                err_msg=f"step {t} op {op}: object_states.{k}")
