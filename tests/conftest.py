@@ -58,6 +58,15 @@ import numpy as np
 import pytest
 
 
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: anything not marked ``slow`` is the quick gate.
+    ``pytest -m quick`` validates a change in under ~2 minutes; the slow
+    tier holds the compile-heavy engine/fuzz/driver/sharding tests."""
+    for item in items:
+        if item.get_closest_marker("slow") is None:
+            item.add_marker(pytest.mark.quick)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -30,6 +30,7 @@ def _bbox_sel(h, w, x1, y1, x2, y2):
 # ---------------------------------------------------------------------------
 # Environment semantics
 # ---------------------------------------------------------------------------
+@pytest.mark.slow
 def test_pixel_reward_and_match():
     env = answer_given_env(n_tasks=4, h=5, w=5, colors=10, seed=0,
                            episode_limit=50)
@@ -118,6 +119,7 @@ def test_random_pair_loader_distribution():
 # ---------------------------------------------------------------------------
 # Policy architecture (§4.1.2)
 # ---------------------------------------------------------------------------
+@pytest.mark.slow
 def test_color_equivariance_property():
     """The defining property of the §4.1.2 color-equivariant policy:
     permuting the task's colors together with the color-embedding rows
@@ -203,6 +205,7 @@ def test_non_equivariant_breaks_property():
                            rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_factorized_policy_shapes():
     """Non-sequential control: op-independent bbox head (identical rows
     across ops) and full-width op logits."""
@@ -229,6 +232,7 @@ def test_factorized_policy_shapes():
 # End-to-end PPO mechanics (every aux ablation cell)
 # ---------------------------------------------------------------------------
 @pytest.mark.parametrize("aux", ["none", "rtm1", "rtm1+rt", "all"])
+@pytest.mark.slow
 def test_ppo_iteration_runs(aux):
     from arcle_tpu.training.train_answer_given import build, main  # noqa: F401
     import argparse
@@ -274,6 +278,7 @@ def test_ppo_iteration_runs(aux):
     assert float(traj.rewards.min()) >= -1.0
 
 
+@pytest.mark.slow
 def test_sequential_policy_two_pass():
     """§4.1.2 arch (2): selection conditioned on the sampled operation via
     a second forward.  Sampled log-probs must equal evaluate_fn's
@@ -420,6 +425,7 @@ def test_shaping_potential_matches_pixel_reward():
     assert (np.asarray(st.answer_dim).prod(axis=-1) < 25).any()
 
 
+@pytest.mark.slow
 def test_continual_phase_banks_shape_stable():
     """§4.1.3 continual setting: the five phase banks (2/4/6/8/10 colors)
     are shape- and dtype-identical pytrees, so the driver's

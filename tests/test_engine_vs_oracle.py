@@ -110,11 +110,13 @@ def test_raw_engine_fuzz(seed):
 
 
 @pytest.mark.parametrize("seed", range(2))
+@pytest.mark.slow
 def test_o2arc_reset_on_submit_engine(seed):
     run_fuzz("o2arc", o2arc_table(max_trial=5), seed + 300, 150, FIELDS,
              max_trial=5, reset_on_submit=True, submit_boost=0.2)
 
 
+@pytest.mark.slow
 def test_vmap_matches_single():
     """Stepping a batch must equal stepping each env alone (semantics are
     batch-size invariant)."""
@@ -149,6 +151,7 @@ def test_vmap_matches_single():
         assert all(jax.tree.leaves(chex_equal)), (t, chex_equal)
 
 
+@pytest.mark.slow
 def test_deferred_flood_matches_full():
     """The batched deferred-flood path must equal the inline path even on
     adversarial components needing many sweeps (spiral)."""
@@ -187,6 +190,7 @@ def test_deferred_flood_matches_full():
     np.testing.assert_array_equal(np.asarray(js2.grid), ostate["grid"])
 
 
+@pytest.mark.slow
 def test_batched_env_deferred_flood():
     """BatchedEnv.step (cond-gated fixup) agrees with vmapped step."""
     from arcle_tpu.envs import BatchedEnv

@@ -12,6 +12,9 @@ from arcle_tpu.core.state import Action
 from arcle_tpu.envs import reset, ResetOptions, BatchedEnv
 from arcle_tpu.ops import o2arc_table, raw_table
 
+pytestmark = pytest.mark.slow  # compile-heavy tier
+
+
 
 def test_bundled_loaders_parse():
     a = ARCLoader()

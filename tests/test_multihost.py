@@ -11,6 +11,9 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy tier
+
+
 _WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
 
 

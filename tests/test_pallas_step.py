@@ -10,6 +10,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # compile-heavy tier
+
+
 
 @pytest.fixture(scope="module", autouse=True)
 def interpret_pallas():

@@ -15,8 +15,9 @@ from arcle_tpu.parallel import (
     make_mesh, data_model_mesh, shard_leading, replicate, shard_params_tp,
 )
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 virtual devices")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(len(jax.devices()) < 8,
+                                 reason="needs 8 virtual devices")]
 
 
 def test_sharded_env_step_matches_single_device():

@@ -42,6 +42,7 @@ def test_convert_matches_reference_convention():
         convert_ui_action((0, "Teleport", [], None))
 
 
+@pytest.mark.slow
 def test_replay_golden_through_jax_env(golden):
     tasks, traces, infos = golden
     env = O2ARCv2Env(data_loader=ListLoader(tasks), max_trial=-1)

@@ -19,6 +19,9 @@ from arcle_tpu.training import (
 )
 from arcle_tpu.wrappers import flatten_obs
 
+pytestmark = pytest.mark.slow  # compile-heavy tier
+
+
 OBS_DIM = 2710  # FilterO2ARC flattened width (3*900 + 4*2 + 2*1)
 
 

@@ -1,3 +1,4 @@
+import pytest
 """Aux subsystems: config, checkpointing, metrics, render."""
 
 import json
@@ -44,6 +45,7 @@ def test_checkpoint_roundtrip(tmp_path):
                                   np.asarray(tree["params"]["w"]))
 
 
+@pytest.mark.slow
 def test_train_driver_smoke(tmp_path):
     """python -m arcle_tpu.training.train --smoke runs a PPO iteration."""
     from arcle_tpu.training.train import main
@@ -53,6 +55,7 @@ def test_train_driver_smoke(tmp_path):
     assert os.path.exists(tmp_path / "log.jsonl")
 
 
+@pytest.mark.slow
 def test_train_gpt_driver_smoke(tmp_path):
     from arcle_tpu.training.train_gpt import main
     main(["--smoke", "--algo", "ppo", "--iterations", "1",
@@ -61,6 +64,7 @@ def test_train_gpt_driver_smoke(tmp_path):
     assert os.path.exists(tmp_path / "log.jsonl")
 
 
+@pytest.mark.slow
 def test_train_driver_resume(tmp_path):
     """Kill-and-resume: the restored run continues from the checkpointed
     iteration (the RLlib algo.save / from_checkpoint counterpart)."""
@@ -76,6 +80,7 @@ def test_train_driver_resume(tmp_path):
     assert its == [0, 1, 2, 3]
 
 
+@pytest.mark.slow
 def test_emaml_driver_smoke_bookkeeping(tmp_path):
     """E-MAML driver logs the reference wandb schema incl. success
     counters (train.py:130-150), and resume restores the counters."""
@@ -132,6 +137,7 @@ def test_supervise_restarts_on_crash_and_hang(tmp_path):
     assert b"killing process group" in log2.read_bytes()
 
 
+@pytest.mark.slow
 def test_ppo_chunked_driver_matches_fused(tmp_path):
     """ppo_chunked=True (two jitted units: rollout | update — the
     large-model path on axon) must log the same curve as the fused
