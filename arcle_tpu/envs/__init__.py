@@ -7,7 +7,7 @@ keep working, plus the NoFill variant (agents/wrapper.py:61-65).
 
 from .core import (
     reset, step, transition, ResetOptions, BatchedEnv, BatchedState,
-    batched_reset, batched_step,
+    batched_reset, batched_step, reset_jit,
 )
 from .gym_compat import (
     JaxARCEnvBase, RawARCEnv, ARCEnv, O2ARCv2Env, O2ARCNoFillEnv,
@@ -36,7 +36,7 @@ for _id, _ep, _steps in _SPECS:
 
 __all__ = [
     "reset", "step", "transition", "ResetOptions", "BatchedEnv",
-    "BatchedState", "batched_reset", "batched_step",
+    "BatchedState", "batched_reset", "batched_step", "reset_jit",
     "JaxARCEnvBase", "RawARCEnv", "ARCEnv", "O2ARCv2Env",
     "O2ARCNoFillEnv", "CustomO2ARCEnv", "augment_task",
 ]

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..envs import BatchedEnv, ResetOptions
+from ..envs import BatchedEnv, ResetOptions, reset_jit
 from ..models.mlp import FCPolicy
 from ..utils.config import RunConfig, EnvConfig, make_table, make_loader
 from ..utils.metrics import MetricLogger, Throughput
@@ -229,7 +229,9 @@ def run_emaml(cfg: RunConfig, logger: MetricLogger, resume: bool = False):
                          augment=cfg.env.augment, opts=opts,
                          use_pallas=_pallas_enabled(cfg),
                          reset_pool=cfg.env.reset_pool)
-        bs = env.reset(kr, n_envs)
+        # jitted fused reset: the eager path costs ~0.5 s/meta-iteration
+        # at 4096 envs on the axon runtime (envs/core.py reset_jit)
+        bs = reset_jit(env, kr, n_envs)
         st, bs, metrics = step_j(st, env, bs, agent, ecfg)
         post_batch = metrics.pop("post_batch")
         # wandb schema keys (train.py:130-150)

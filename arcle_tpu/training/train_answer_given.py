@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from ..benchmarks.answer_given import (
     answer_given_agent, answer_given_env, make_policy, shaping_potential,
 )
+from ..envs.core import reset_jit
 from ..utils.checkpoint import Checkpointer
 from ..utils.metrics import MetricLogger, Throughput
 from .ppo import PPOConfig, batch_from_trajectory, make_optimizer, train_step
@@ -159,7 +160,7 @@ def main(argv=None):
 
     key = jax.random.key(args.seed)
     key, ki, kr = jax.random.split(key, 3)
-    bs = env.reset(kr, args.n_envs)
+    bs = reset_jit(env, kr, args.n_envs)
     params = agent.init_fn(ki, agent.obs_fn(
         jax.tree.map(lambda x: x[:1], bs.env)))
     n_params = sum(x.size for x in jax.tree.leaves(params))
@@ -259,7 +260,7 @@ def main(argv=None):
                 phase = p
                 env = dataclasses.replace(env, bank=banks[p])
                 key, kr = jax.random.split(key)
-                bs = env.reset(kr, args.n_envs)
+                bs = reset_jit(env, kr, args.n_envs)
                 print(f"[phase {p}] colors={2 * (p + 1)}", file=sys.stderr)
         bs, params, opt_state, key, stats = it_j(env, bs, params,
                                                  opt_state, key,
