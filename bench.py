@@ -116,7 +116,8 @@ def bench_reference_numpy(n_steps: int = 3000, seed: int = 0) -> float:
 
 
 def bench_tpu(batch: int, steps: int, iters: int, seed: int = 0,
-              table=None, bank=None, point_actions: bool = False) -> float:
+              table=None, bank=None, point_actions: bool = False,
+              util_out: dict = None) -> float:
     import jax
     import jax.numpy as jnp
     from arcle_tpu.core.state import Action
@@ -124,6 +125,7 @@ def bench_tpu(batch: int, steps: int, iters: int, seed: int = 0,
     from arcle_tpu.envs import BatchedEnv
     from arcle_tpu.loaders import SyntheticLoader
     from arcle_tpu.ops import o2arc_table
+    from arcle_tpu.benchmarks import roofline
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {dev.device_kind}")
@@ -132,21 +134,23 @@ def bench_tpu(batch: int, steps: int, iters: int, seed: int = 0,
         table = o2arc_table(max_trial=-1)
     if bank is None:
         bank = SyntheticLoader(16, seed=3).bank()
+
+    def builder(use_pallas):
+        return BatchedEnv(table=table, bank=bank,
+                          max_trial=-1, episode_limit=100, auto_reset=True,
+                          use_pallas=use_pallas,
+                          # pre-drawn reset pool: auto-reset inside the
+                          # scan is a row gather instead of a fresh
+                          # sample+init (the same mechanism run_ppo uses)
+                          reset_pool=8)
+
     # the megakernel is table-generic (raw/arc parity fuzzed in
-    # tests/test_pallas_step.py); it needs whole 64-env blocks, and under
-    # ~8 blocks the grid is too short to pipeline — measured on v5e:
-    # raw@256 504k (pallas) vs 667k (XLA), arc@1024 786k vs 633k
-    use_pallas = jax.devices()[0].platform == "tpu" and batch % 64 == 0 \
-        and batch >= 512
-    log(f"pallas megakernel: {use_pallas}")
-    env = BatchedEnv(table=table, bank=bank,
-                     max_trial=-1, episode_limit=100, auto_reset=True,
-                     use_pallas=use_pallas,
-                     # pre-drawn reset pool: auto-reset inside the scan is a
-                     # row gather instead of a fresh sample+init (the same
-                     # mechanism run_ppo uses; measured 44 ms of a 200 ms
-                     # rollout at B=4096 without it)
-                     reset_pool=8)
+    # tests/test_pallas_step.py); engine choice is MEASURED per
+    # (table, batch) — the round-3 batch-size heuristic mispicked
+    # (raw@256: XLA 667k vs Pallas 504k)
+    use_pallas = roofline.pick_engine(builder, batch)
+    log(f"pallas megakernel: {use_pallas} (measured pick)")
+    env = builder(use_pallas)
 
     H = W = 30
 
@@ -218,6 +222,23 @@ def bench_tpu(batch: int, steps: int, iters: int, seed: int = 0,
         log(f"iter {it}: {rate:,.0f} env-steps/s ({dt * 1e3:.1f} ms "
             f"for {batch}x{steps}, chk={chk})")
         best = max(best, rate)
+
+    if util_out is not None:
+        # roofline accounting: XLA cost model of the whole compiled
+        # rollout + the analytic megakernel traffic model, as % of the
+        # chip's HBM/MXU peaks at the measured rate
+        try:
+            from arcle_tpu.benchmarks import roofline as _rf
+            cost = _rf.cost_from_compiled(
+                jax.jit(rollout).lower(env, bs, key).compile())
+            analytic = (_rf.pallas_step_bytes(table, batch) if use_pallas
+                        else None)
+            util_out.update(_rf.summarize(best, batch, steps, cost,
+                                          analytic))
+            util_out["engine"] = "pallas" if use_pallas else "xla"
+            log(f"roofline: {util_out}")
+        except Exception as e:  # pragma: no cover
+            log(f"roofline accounting failed: {e}")
     return best
 
 
@@ -355,15 +376,21 @@ def bench_baseline_configs(steps: int) -> dict:
         1024, steps, 2, table=arc_table(max_trial=-1), bank=arc_bank,
         point_actions=True))
     # reset/auto-reset gather cost at 4096 envs on the ~3200-pair bank
+    from arcle_tpu.envs.core import reset_jit
     env = BatchedEnv(table=o2arc_table(max_trial=-1), bank=arc_bank,
                      max_trial=-1, episode_limit=100, auto_reset=True)
-    rj = jax.jit(lambda e, k: e.reset(k, 4096), static_argnums=())
-    bs = env.reset(jax.random.key(0), 4096)
+    bs = reset_jit(env, jax.random.key(0), 4096)   # compile + warm
     _ = int(jnp.sum(bs.env.steps))
     t0 = _time.perf_counter()
-    bs = env.reset(jax.random.key(1), 4096)
+    bs = reset_jit(env, jax.random.key(1), 4096)
     _ = int(jnp.sum(bs.env.input_dim.astype(jnp.int32)))
     out["reset_4096env_3200pair_ms"] = round(
+        (_time.perf_counter() - t0) * 1e3, 1)
+    # the eager path for the record (what a naive caller pays per reset)
+    t0 = _time.perf_counter()
+    bs2 = env.reset(jax.random.key(2), 4096)
+    _ = int(jnp.sum(bs2.env.steps))
+    out["reset_4096env_eager_ms"] = round(
         (_time.perf_counter() - t0) * 1e3, 1)
     out["corpus_pairs"] = n_pairs
     log(f"baseline configs: {out}")
@@ -461,7 +488,8 @@ def main():
     else:
         ref_rate = bench_reference_numpy(args.ref_steps)
 
-    rate = bench_tpu(args.batch, args.steps, args.iters)
+    util = {}
+    rate = bench_tpu(args.batch, args.steps, args.iters, util_out=util)
 
     result = {
         "metric": f"O2ARCv2 env-steps/s @ {args.batch} lockstep envs "
@@ -470,6 +498,8 @@ def main():
         "unit": "env-steps/s",
         "vs_baseline": round(rate / ref_rate, 2),
     }
+    if util:
+        result["roofline"] = util
     import os as _os
     if _os.environ.get("ARCLE_BENCH_CPU_FALLBACK"):
         result["tpu_unavailable"] = True    # CPU-fallback numbers: the
