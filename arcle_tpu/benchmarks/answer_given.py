@@ -131,10 +131,14 @@ def answer_given_env(n_tasks: int = 16384, h: int = 5, w: int = 5,
                      colors: int = 10, seed: int = 0,
                      episode_limit: int = 50,
                      setting: str = "random",
-                     loader: Optional[Loader] = None) -> BatchedEnv:
+                     loader: Optional[Loader] = None,
+                     use_pallas: bool = False) -> BatchedEnv:
     """Batched lockstep env for the §4.1 setting.
 
     ``setting``: "random" (uniform grids) or "arc" (ARC-like tasks <=5x5).
+    ``use_pallas`` routes the step through the geometry-parametrized VMEM
+    megakernel (5x5 instantiation); pick it with the measured
+    ``benchmarks.roofline.pick_engine``.
     """
     if loader is None:
         if setting == "random":
@@ -150,6 +154,7 @@ def answer_given_env(n_tasks: int = 16384, h: int = 5, w: int = 5,
         episode_limit=episode_limit, auto_reset=True,
         pixel_reward=True, terminate_on_match=True,
         opts=ResetOptions.make(adaptation=True),
+        use_pallas=use_pallas,
     )
 
 

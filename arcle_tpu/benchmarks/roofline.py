@@ -132,7 +132,8 @@ def pick_engine(env_builder, batch: int, steps: int = 20,
     cache_key = (env_probe.table.name, batch)
     if cache_key in _PICK_CACHE:
         return _PICK_CACHE[cache_key]
-    if jax.devices()[0].platform != "tpu" or batch % 64 != 0:
+    if jax.devices()[0].platform != "tpu":
+        # (no batch-divisibility gate: the kernel pads partial blocks)
         _PICK_CACHE[cache_key] = False
         return False
 
@@ -157,15 +158,15 @@ def pick_engine(env_builder, batch: int, steps: int = 20,
                     sels = jax.vmap(bbox_selection,
                                     in_axes=(0, 0, 0, 0, None, None))(
                         c[0], c[1], c[2], c[3], H, W)
-                    b = unflatten_grids(bs_flat)
+                    b = unflatten_grids(bs_flat, H, W)
                     b, _o, rew, *_ = env.step(
                         b, Action(selection=sels, operation=ops))
-                    bs_flat = flatten_grids(b)
+                    bs_flat = flatten_grids(b, H, W)
                 return (bs_flat, key), rew.sum()
 
             (bs_flat, _), rews = jax.lax.scan(
-                body, (flatten_grids(bs), key), None, length=steps)
-            return jnp.sum(unflatten_grids(bs_flat).env.steps) + \
+                body, (flatten_grids(bs, H, W), key), None, length=steps)
+            return jnp.sum(unflatten_grids(bs_flat, H, W).env.steps) + \
                 rews.sum().astype(jnp.int32)
 
         key = jax.random.key(key_seed)

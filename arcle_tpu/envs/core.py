@@ -259,15 +259,16 @@ class BatchedEnv:
                            term: jax.Array):
         """Optional reward shaping / success-termination modes, applied to
         the post-op (pre-reset) state on both engine layouts."""
+        W = int(self.bank.in_grids.shape[-1])
         if self.dense_reward:
             from ..ops.table import dense_reward as _dense
             reward = jax.vmap(_dense)(env2, reward)
         if self.pixel_reward:
             from ..ops.table import pixel_reward as _pixel
-            reward = jax.vmap(_pixel)(env2)
+            reward = jax.vmap(_pixel, in_axes=(0, None))(env2, W)
         if self.terminate_on_match:
             from ..ops.table import answers_match_any as _match
-            solved = jax.vmap(_match)(env2)
+            solved = jax.vmap(_match, in_axes=(0, None))(env2, W)
             env2 = env2.replace(
                 terminated=jnp.maximum(env2.terminated, solved.astype(I8)))
             term = env2.terminated != 0
@@ -283,17 +284,18 @@ class BatchedEnv:
         relayout copies at all."""
         assert self.use_pallas
         from ..ops.pallas_step import pallas_step_deferred_flat
+        H, W = self.bank.in_grids.shape[-2:]
         env2, reward, term, pending = pallas_step_deferred_flat(
-            bs.env, action, self.table)
+            bs.env, action, self.table, H, W)
 
         def flood_fixup(args):
             env2, action = args
-            env_sq = unflatten_grids(env2)
-            act_sq = Action(selection=action.selection.reshape(-1, 30, 30),
+            env_sq = unflatten_grids(env2, H, W)
+            act_sq = Action(selection=action.selection.reshape(-1, H, W),
                             operation=action.operation)
             fixed = jax.vmap(_finish_flood, in_axes=(0, 0, None, 0))(
                 env_sq, act_sq, self.table, pending)
-            return flatten_grids(fixed)
+            return flatten_grids(fixed, H, W)
 
         env2 = jax.lax.cond(
             jnp.any(pending), flood_fixup, lambda a: a[0], (env2, action))
@@ -344,7 +346,8 @@ class BatchedEnv:
                              in_axes=(0, None, self._opts_axes()))(
                 reset_key, self.bank, self.opts)
             if flat:
-                fresh = flatten_grids(fresh)
+                fresh = flatten_grids(fresh,
+                                      *self.bank.in_grids.shape[-2:])
             env3 = merge(env2, fresh)
             # raw uint32 [B,2] keys need the trailing axis broadcast;
             # typed key arrays are logically [B]

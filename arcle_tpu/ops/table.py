@@ -274,23 +274,24 @@ def step_deferred(state: EnvState, action: Action, table: OpTable):
     return s2, reward, term, pending
 
 
-def _grid_rowcol(grid: jax.Array):
-    """Row/col index arrays for a square [h, w] or flat [900] grid leaf
-    (flat implies the 30x30 engine layout, as in flatten_grids)."""
+def _grid_rowcol(grid: jax.Array, w: int = 30):
+    """Row/col index arrays for a square [h, w] grid leaf or a flat
+    [h*w] one (``w`` is the flat layout's row width — 30 for the ARC
+    families, the bank width for small geometries)."""
     if grid.ndim == 2:
         H, W = grid.shape
         rows = jax.lax.broadcasted_iota(I32, (H, W), 0)
         cols = jax.lax.broadcasted_iota(I32, (H, W), 1)
     else:
         lane = jax.lax.broadcasted_iota(I32, grid.shape, 0)
-        rows, cols = lane // 30, lane % 30
+        rows, cols = lane // w, lane % w
     return rows, cols
 
 
-def answers_match_any(state: EnvState) -> jax.Array:
+def answers_match_any(state: EnvState, w: int = 30) -> jax.Array:
     """``answers_match`` (groups.py) generalized to square-or-flat grid
     leaves, for post-step success checks on either engine layout."""
-    rows, cols = _grid_rowcol(state.grid)
+    rows, cols = _grid_rowcol(state.grid, w)
     ad = state.answer_dim.astype(I32)
     dims_eq = jnp.all(state.grid_dim == state.answer_dim)
     inside = (rows < ad[0]) & (cols < ad[1])
@@ -298,12 +299,12 @@ def answers_match_any(state: EnvState) -> jax.Array:
     return dims_eq & content_eq
 
 
-def pixel_reward(state_after: EnvState) -> jax.Array:
+def pixel_reward(state_after: EnvState, w: int = 30) -> jax.Array:
     """The paper's §4.1 dense reward: ``-(incorrect pixels)/(total)``
     within the answer dims, in [-1, 0] ("penalizes the agent by the ratio
     of incorrect pixels of the next state", arcle_paper.pdf §4.1).  Zero
     exactly when the grid solves the task."""
-    rows, cols = _grid_rowcol(state_after.grid)
+    rows, cols = _grid_rowcol(state_after.grid, w)
     ad = state_after.answer_dim.astype(I32)
     inside = (rows < ad[0]) & (cols < ad[1])
     wrong = jnp.sum(

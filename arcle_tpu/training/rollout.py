@@ -84,12 +84,12 @@ def rollout(env: BatchedEnv, bs: BatchedState, params, key: jax.Array,
                 bs_flat, decode_bbox_actions(acts, H, W, flat=True))
             next_carry = bs2
         else:
-            bs = unflatten_grids(bs_flat)
+            bs = unflatten_grids(bs_flat, H, W)
             obs = agent.obs_fn(bs.env)
             acts, lp, value = agent.sample_fn(params, obs, ka, deterministic)
             bs2, obs_env, rew, term, trunc = env.step(
                 bs, decode_bbox_actions(acts, H, W))
-            next_carry = flatten_grids(bs2)
+            next_carry = flatten_grids(bs2, H, W)
 
         # TimeLimit bootstrap value: V of the *pre-reset* observation
         # (obs_env), needed only where an episode was truncated without
@@ -113,8 +113,8 @@ def rollout(env: BatchedEnv, bs: BatchedState, params, key: jax.Array,
         return (next_carry, key), out
 
     (bs_flat, key), traj = jax.lax.scan(
-        body, (flatten_grids(bs), key), None, length=n_steps)
-    bs = unflatten_grids(bs_flat)
+        body, (flatten_grids(bs, H, W), key), None, length=n_steps)
+    bs = unflatten_grids(bs_flat, H, W)
     last_obs = agent.obs_fn(bs.env)
     zero_act = jnp.zeros(last_obs.shape[:-1] + (5,), jnp.int32)
     _, last_value, _ = agent.evaluate_fn(params, last_obs, zero_act)

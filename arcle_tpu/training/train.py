@@ -51,10 +51,9 @@ def _pallas_enabled(cfg: RunConfig) -> bool:
     import jax
     mode = getattr(cfg.env, "use_pallas", "auto")
     on_tpu = jax.devices()[0].platform == "tpu"
-    n = cfg.env.n_envs
-    if cfg.algo == "emaml":
-        n = cfg.emaml.envs_per_task
-    return (mode == "on") or (mode == "auto" and on_tpu and n % 64 == 0)
+    # no batch-divisibility condition: the kernel pads partial blocks, so
+    # E-MAML's small per-task env batches ride VMEM too (r3 VERDICT #5)
+    return (mode == "on") or (mode == "auto" and on_tpu)
 
 
 def build_agent(cfg: RunConfig):

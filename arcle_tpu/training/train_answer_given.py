@@ -46,10 +46,21 @@ from .train import enable_compile_cache, _key_data, _wrap_key
 
 
 def build(args):
-    env = answer_given_env(
-        n_tasks=args.n_tasks, h=args.size, w=args.size,
-        colors=args.colors, seed=args.seed,
-        episode_limit=args.episode_limit, setting=args.setting)
+    def mk_env(use_pallas: bool):
+        return answer_given_env(
+            n_tasks=args.n_tasks, h=args.size, w=args.size,
+            colors=args.colors, seed=args.seed,
+            episode_limit=args.episode_limit, setting=args.setting,
+            use_pallas=use_pallas)
+
+    # measured engine choice (VMEM megakernel at this geometry vs XLA):
+    # two short probe rollouts, cached per (table, batch)
+    import jax as _jax
+    if _jax.devices()[0].platform == "tpu":
+        from ..benchmarks.roofline import pick_engine
+        env = mk_env(pick_engine(mk_env, args.n_envs))
+    else:
+        env = mk_env(False)
     policy = make_policy(
         h=args.size, w=args.size, colors=args.colors,
         n_layer=args.n_layer, n_head=args.n_head, n_embd=args.n_embd,

