@@ -70,5 +70,16 @@ def rollout(env, bs, key):
 
 
 with mesh:
-    chk = int(jax.jit(rollout)(env_g, bs, jax.random.key(1)))
+    rj = jax.jit(rollout)
+    chk = int(rj(env_g, bs, jax.random.key(1)))
+    # timed re-executions for the 1-vs-2-process scaling evidence
+    # (compile excluded; B*S global env-steps per call)
+    import time
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        chk2 = int(rj(env_g, bs, jax.random.key(1)))
+        best = min(best, time.perf_counter() - t0)
 print(f"CHECKSUM proc={pid} nproc={nproc} value={chk}", flush=True)
+print(f"TIMING proc={pid} nproc={nproc} steps_per_s={B * S / best:.1f}",
+      flush=True)
