@@ -46,14 +46,19 @@ def ensure_live_device(probe_timeout: int = 420) -> None:
                                        probe_timeout))
     probe = ("import jax, jax.numpy as jnp;"
              "print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))")
-    try:
-        subprocess.run([sys.executable, "-c", probe], check=True,
-                       timeout=probe_timeout, stdout=subprocess.DEVNULL,
-                       stderr=subprocess.DEVNULL)
-        return
-    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
-        log(f"device probe failed/timed out ({probe_timeout}s); "
-            "re-executing on CPU fallback")
+    for attempt in range(3):
+        # retry: a saturated tunnel (several live clients) can time one
+        # probe out without the worker being down
+        try:
+            subprocess.run([sys.executable, "-c", probe], check=True,
+                           timeout=probe_timeout,
+                           stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            log(f"device probe failed/timed out "
+                f"({probe_timeout}s, attempt {attempt + 1}/3)")
+    log("re-executing on CPU fallback")
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)         # drops the axon sitecustomize
     env["JAX_PLATFORMS"] = "cpu"
