@@ -38,6 +38,16 @@ def main(argv=None):
                          "launch overhead dominates")
     ap.add_argument("--meta-steps", type=int, default=5,
                     help="meta-optimizer steps per iteration (reference: 5)")
+    ap.add_argument("--envs-per-task", type=int, default=1,
+                    help="lockstep envs per task (reference: 1 env/worker; "
+                         "more envs cost almost no extra wall-clock at "
+                         "B<=16 on the 1837-token GPT — the forward is "
+                         "latency-bound — but multiply the data per "
+                         "inner step)")
+    ap.add_argument("--rollout-steps", type=int, default=100,
+                    help="rollout fragment length (reference: 100); the "
+                         "dominant wall-clock term is sequential GPT "
+                         "forwards, one per step")
     ap.add_argument("--aux-coeff", type=float, default=0.0,
                     help="weight of the action-conditioned auxiliary "
                          "losses (r_{t-1}/r_t/next-grid, paper §4.1.1); "
@@ -79,8 +89,8 @@ def main(argv=None):
         # 20-step replay through the 8L/16H/128E transformer on-chip
         emaml=EMAMLConfig(
             n_tasks=2,
-            envs_per_task=4 if args.smoke else 1,
-            rollout_steps=10 if args.smoke else 100,
+            envs_per_task=4 if args.smoke else args.envs_per_task,
+            rollout_steps=10 if args.smoke else args.rollout_steps,
             inner_steps=1 if args.smoke else args.inner_steps,
             maml_opt_steps=1 if args.smoke else args.meta_steps,
             first_order=True,
