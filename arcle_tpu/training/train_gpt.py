@@ -48,6 +48,11 @@ def main(argv=None):
                     help="rollout fragment length (reference: 100); the "
                          "dominant wall-clock term is sequential GPT "
                          "forwards, one per step")
+    ap.add_argument("--n-micro", type=int, default=None,
+                    help="gradient-accumulation chunks per inner update; "
+                         "default keeps ~25-sample micro-batches (the "
+                         "1837-token fwd+bwd fits the 15.75 GB chip at "
+                         "25; 100-sample chunks need 18.8 GB)")
     ap.add_argument("--aux-coeff", type=float, default=0.0,
                     help="weight of the action-conditioned auxiliary "
                          "losses (r_{t-1}/r_t/next-grid, paper §4.1.1); "
@@ -96,7 +101,10 @@ def main(argv=None):
             first_order=True,
             # 25-sample micro-batches bound the replay's activation
             # memory (see EMAMLConfig.n_micro)
-            n_micro=1 if args.smoke else 4,
+            n_micro=1 if args.smoke else (
+                args.n_micro if args.n_micro
+                else max(4, (args.envs_per_task * args.rollout_steps)
+                         // 25)),
             # host-chunked step: the fused program would run minutes on
             # device and the axon relay kills executions over ~1 min
             chunked=not args.smoke,
