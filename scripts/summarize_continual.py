@@ -37,9 +37,12 @@ def phase_stats(rows, phase_iters=400, n_phases=5):
         peak = max(r["success_rate"] for r in pr)
         tail = [r["success_rate"] for r in pr
                 if r["iteration"] >= (p + 1) * phase_iters - phase_iters // 4]
+        rec = next((r["iteration"] - p * phase_iters for r in pr
+                    if r["success_rate"] >= 0.5), None)
         out.append({"phase": p, "colors": 2 * (p + 1),
                     "iters": len(pr),
                     "peak": peak,
+                    "recover_iters": rec,
                     "final_quarter_mean": (sum(tail) / len(tail)
                                            if tail else float("nan"))})
     return out
@@ -51,12 +54,16 @@ def main(argv):
     for path in paths:
         rows = load(path)
         print(f"\n== {path} ({len(rows)} iterations)")
-        print(f"{'phase':>5} {'colors':>6} {'peak':>7} {'final-1/4':>10}")
+        print(f"{'phase':>5} {'colors':>6} {'peak':>7} {'final-1/4':>10} "
+              f"{'iters-to-50%':>13}")
         for st in phase_stats(rows):
             if st is None:
                 continue
+            rec = (str(st["recover_iters"])
+                   if st["recover_iters"] is not None else "-")
             print(f"{st['phase']:>5} {st['colors']:>6} "
-                  f"{st['peak']:>7.3f} {st['final_quarter_mean']:>10.3f}")
+                  f"{st['peak']:>7.3f} {st['final_quarter_mean']:>10.3f} "
+                  f"{rec:>13}")
 
 
 if __name__ == "__main__":
