@@ -47,6 +47,24 @@ def enable_compile_cache(ckpt_dir: str) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 
+def log_provenance(logger: MetricLogger, cfg: RunConfig, argv=None) -> None:
+    """One JSONL header line per run record: full config, git sha, argv —
+    so a committed curve is reproducible from the file alone."""
+    import json
+    import os
+    import subprocess
+    try:
+        sha = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10).stdout.strip()
+    except Exception:
+        sha = "unknown"
+    logger.meta({"config": json.loads(cfg.to_json()), "git_sha": sha,
+                 "argv": list(argv) if argv else sys.argv[1:]})
+
+
 def _pallas_enabled(cfg: RunConfig) -> bool:
     import jax
     mode = getattr(cfg.env, "use_pallas", "auto")
@@ -332,6 +350,7 @@ def main(argv=None):
     print(cfg.to_json(), file=sys.stderr)
     enable_compile_cache(cfg.checkpoint_dir)
     logger = MetricLogger(args.log_file)
+    log_provenance(logger, cfg, argv)
     if cfg.algo == "ppo":
         run_ppo(cfg, logger, resume=args.resume)
     else:

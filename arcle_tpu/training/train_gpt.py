@@ -18,7 +18,7 @@ from ..training.ppo import PPOConfig
 from ..training.emaml import EMAMLConfig
 from ..utils.config import RunConfig, EnvConfig
 from ..utils.metrics import MetricLogger
-from .train import enable_compile_cache, run_ppo, run_emaml
+from .train import enable_compile_cache, log_provenance, run_ppo, run_emaml
 
 
 def main(argv=None):
@@ -115,6 +115,7 @@ def main(argv=None):
     print(cfg.to_json(), file=sys.stderr)
     enable_compile_cache(cfg.checkpoint_dir)
     logger = MetricLogger(args.log_file)
+    log_provenance(logger, cfg, argv)
     if cfg.algo == "ppo":
         run_ppo(cfg, logger, resume=args.resume)
     else:

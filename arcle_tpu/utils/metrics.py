@@ -28,6 +28,16 @@ class MetricLogger:
         self._fp = open(path, "a") if path else None
         self.t0 = time.time()
 
+    def meta(self, info: Dict) -> None:
+        """Write a one-line provenance header (run config, seed, git sha)
+        so the JSONL record is interpretable on its own — the record
+        line is tagged ``{"meta": ...}`` and carries no ``iteration``
+        key, so curve readers that filter on ``iteration`` skip it."""
+        if self._fp:
+            self._fp.write(json.dumps({"meta": info,
+                                       "ts": time.time()}) + "\n")
+            self._fp.flush()
+
     def log(self, step: int, metrics: Dict) -> None:
         clean = {}
         for k, v in metrics.items():
