@@ -95,9 +95,15 @@ def _build_train_iter(mesh, per_device_envs: int, T: int, n_layer: int):
 
 def measure_ppo_scaling(device_counts: Sequence[int] = (1, 2, 4, 8),
                         per_device_envs: int = 8, T: int = 8,
-                        iters: int = 3, n_layer: int = 2):
+                        iters: int = 3, n_layer: int = 2,
+                        budget_s: float = None):
     """Weak-scaling sweep of the full PPO iteration over virtual-device
-    meshes.  Returns [{devices, steps_per_s, per_device, efficiency}]."""
+    meshes.  Returns [{devices, steps_per_s, per_device, efficiency}].
+
+    ``budget_s`` bounds the sweep's wall clock: each mesh costs a fresh
+    XLA compile (~1 min cold on the CPU backend), so a driver running
+    this behind a timeout gets the counts that fit the budget plus a
+    truncation notice instead of a hard kill mid-sweep."""
     import jax
 
     from .mesh import make_mesh
@@ -105,7 +111,15 @@ def measure_ppo_scaling(device_counts: Sequence[int] = (1, 2, 4, 8),
     n_dev = len(jax.devices())
     rows = []
     base = None
-    for d in [d for d in device_counts if d <= n_dev]:
+    t_start = time.perf_counter()
+    wanted = [d for d in device_counts if d <= n_dev]
+    for d in wanted:
+        if (budget_s is not None and rows
+                and time.perf_counter() - t_start > budget_s):
+            print(f"scaling: budget {budget_s:.0f}s exhausted after "
+                  f"devices={rows[-1]['devices']}; skipping "
+                  f"{[x for x in wanted if x > rows[-1]['devices']]}")
+            break
         mesh = make_mesh((d,), ("data",), devices=jax.devices()[:d])
         fn, env, carry, steps_per_iter, n_params = _build_train_iter(
             mesh, per_device_envs, T, n_layer)
@@ -209,13 +223,18 @@ def real_update_period_s(default: float = 0.3484) -> float:
 
 
 def scaling_report(device_counts=(1, 2, 4, 8), per_device_envs: int = 8,
-                   T: int = 8, n_layer: int = 2) -> dict:
+                   T: int = 8, n_layer: int = 2,
+                   budget_s: float = None) -> dict:
     """Measured sweep + fit + projection; prints the table and the
     efficiency-vs-target statement (consumed from dryrun_multichip so the
     driver's MULTICHIP artifact records it)."""
+    if budget_s is None:
+        budget_s = float(os.environ.get("ARCLE_SCALING_BUDGET_S", "240"))
     rows = measure_ppo_scaling(device_counts, per_device_envs, T,
-                               n_layer=n_layer)
-    fit = fit_allreduce(rows)
+                               n_layer=n_layer, budget_s=budget_s)
+    fit = (fit_allreduce(rows) if len(rows) >= 2
+           else {"t_comp_s": rows[0]["iter_s"] if rows else 0.0,
+                 "t_ring_s": 0.0})
     n_params = flagship_n_params()
     period = real_update_period_s()
     proj = project_multihost(n_params, period)
