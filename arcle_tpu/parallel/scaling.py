@@ -37,7 +37,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -96,14 +96,19 @@ def _build_train_iter(mesh, per_device_envs: int, T: int, n_layer: int):
 def measure_ppo_scaling(device_counts: Sequence[int] = (1, 2, 4, 8),
                         per_device_envs: int = 8, T: int = 8,
                         iters: int = 3, n_layer: int = 2,
-                        budget_s: float = None):
+                        budget_s: Optional[float] = None):
     """Weak-scaling sweep of the full PPO iteration over virtual-device
     meshes.  Returns [{devices, steps_per_s, per_device, efficiency}].
 
     ``budget_s`` bounds the sweep's wall clock: each mesh costs a fresh
     XLA compile (~1 min cold on the CPU backend), so a driver running
     this behind a timeout gets the counts that fit the budget plus a
-    truncation notice instead of a hard kill mid-sweep."""
+    truncation notice instead of a hard kill mid-sweep.  The check
+    estimates the NEXT mesh's cost from the last one (compile + measure
+    scale roughly with device count on the shared-core backend) and skips
+    preemptively, so callers may set budget_s equal to an external
+    timeout minus a few seconds rather than leaving a whole-mesh
+    headroom."""
     import jax
 
     from .mesh import make_mesh
@@ -112,14 +117,17 @@ def measure_ppo_scaling(device_counts: Sequence[int] = (1, 2, 4, 8),
     rows = []
     base = None
     t_start = time.perf_counter()
+    t_last_mesh = 0.0
     wanted = [d for d in device_counts if d <= n_dev]
     for d in wanted:
         if (budget_s is not None and rows
-                and time.perf_counter() - t_start > budget_s):
+                and time.perf_counter() - t_start + t_last_mesh
+                > budget_s):
             print(f"scaling: budget {budget_s:.0f}s exhausted after "
                   f"devices={rows[-1]['devices']}; skipping "
                   f"{[x for x in wanted if x > rows[-1]['devices']]}")
             break
+        t_mesh0 = time.perf_counter()
         mesh = make_mesh((d,), ("data",), devices=jax.devices()[:d])
         fn, env, carry, steps_per_iter, n_params = _build_train_iter(
             mesh, per_device_envs, T, n_layer)
@@ -141,6 +149,7 @@ def measure_ppo_scaling(device_counts: Sequence[int] = (1, 2, 4, 8),
                      "steps_per_s": rate, "per_device": per_dev,
                      "efficiency": per_dev / base,
                      "n_params": n_params})
+        t_last_mesh = time.perf_counter() - t_mesh0
     return rows
 
 
@@ -177,6 +186,83 @@ def project_multihost(n_params: int, update_period_s: float,
         out.append({"hosts": n, "grad_mb": g_bytes / 1e6,
                     "t_comm_ms": t_comm * 1e3, "efficiency": eff})
     return out
+
+
+def validate_allreduce_model(n_params: int, probe_mb: float = 1.0,
+                             timeout_s: float = 300.0) -> Optional[dict]:
+    """Predicted-vs-measured all-reduce on the model's own testbed.
+
+    The multi-host projection rests on the ring-all-reduce cost model
+    ``t = 2*(N-1)/N * G / bw``.  This validates the model's *structure*
+    against the only cross-process channel available on one machine (the
+    Gloo backend the multi-host tests use, tests/multihost_worker.py):
+
+    1. measure a 2-process 1-device-each ``psum`` at a small probe size
+       and at the flagship gradient size, in isolation;
+    2. fit the channel bandwidth from the probe point via the model;
+    3. *predict* the gradient-size time from that fit and compare with
+       the measurement.
+
+    A prediction within ~2x validates the linear-in-bytes ring model on
+    a real collective; the absolute Gloo/TCP bandwidth says nothing
+    about DCN (the projection's sensitivity rows cover that axis).
+    Returns None when the 2-process run cannot be executed here.
+    """
+    import socket
+    import subprocess
+    import sys
+
+    grad_mb = 4.0 * n_params / 1e6
+    probe2_mb = 4.0 * probe_mb
+    sizes = f"{probe_mb},{probe2_mb},{grad_mb:.6f}"
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    # the axon site hook would re-point the workers at the (single) real
+    # TPU; this measurement is about the Gloo CPU channel
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon_site" not in p)
+    try:
+        procs = [subprocess.Popen(
+            [sys.executable, "-m", "arcle_tpu.parallel.psum_worker",
+             str(pid), "2", str(port), sizes], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+            for pid in range(2)]
+        outs = [p.communicate(timeout=timeout_s) for p in procs]
+    except Exception as e:
+        for p in procs:
+            p.kill()
+        print(f"allreduce validation skipped: {e}")
+        return None
+    if any(p.returncode != 0 for p in procs):
+        print("allreduce validation skipped: worker failed: "
+              + outs[0][1][-500:])
+        return None
+    times = None
+    for so, _ in outs:
+        for line in so.splitlines():
+            if line.startswith("PSUM_TIMES "):
+                times = json.loads(line[len("PSUM_TIMES "):])
+    if not times:
+        return None
+    t1, t2 = times[str(probe_mb)], times[str(probe2_mb)]
+    t_grad = times[f"{grad_mb:.6f}"]
+
+    # model: t = t_lat + 2*(N-1)/N * G/bw ; N=2 -> t = t_lat + G/bw.
+    # Two probe points pin (t_lat, bw); the gradient-size time is then a
+    # genuine out-of-sample prediction of the ring model on this channel.
+    bw_fit = (probe2_mb - probe_mb) * 1e6 / max(t2 - t1, 1e-9)
+    t_lat = max(t1 - probe_mb * 1e6 / bw_fit, 0.0)
+    predicted = t_lat + grad_mb * 1e6 / bw_fit
+    return {"probe_mb": [probe_mb, probe2_mb], "probe_s": [t1, t2],
+            "grad_mb": grad_mb, "measured_s": t_grad,
+            "fitted_bw_gbps": bw_fit / 1e9, "fitted_latency_ms":
+                t_lat * 1e3,
+            "predicted_s": predicted,
+            "ratio_pred_over_meas": predicted / t_grad}
 
 
 def flagship_n_params() -> int:
@@ -224,7 +310,7 @@ def real_update_period_s(default: float = 0.3484) -> float:
 
 def scaling_report(device_counts=(1, 2, 4, 8), per_device_envs: int = 8,
                    T: int = 8, n_layer: int = 2,
-                   budget_s: float = None) -> dict:
+                   budget_s: Optional[float] = None) -> dict:
     """Measured sweep + fit + projection; prints the table and the
     efficiency-vs-target statement (consumed from dryrun_multichip so the
     driver's MULTICHIP artifact records it)."""
@@ -234,10 +320,20 @@ def scaling_report(device_counts=(1, 2, 4, 8), per_device_envs: int = 8,
                                n_layer=n_layer, budget_s=budget_s)
     fit = (fit_allreduce(rows) if len(rows) >= 2
            else {"t_comp_s": rows[0]["iter_s"] if rows else 0.0,
-                 "t_ring_s": 0.0})
+                 "t_ring_s": None})
     n_params = flagship_n_params()
     period = real_update_period_s()
     proj = project_multihost(n_params, period)
+    # sensitivity of the projection to the assumed DCN bandwidth: the
+    # 6.25 GB/s constant is a NIC spec, not a measurement — report the
+    # worst-host efficiency across a 1 GB/s .. 25 GB/s band too
+    sens = []
+    for bw in (1e9, DCN_BW, 25e9):
+        p = project_multihost(n_params, period, bw=bw)
+        sens.append({"bw_gbps": bw / 1e9,
+                     "worst_eff": min(x["efficiency"] for x in p),
+                     "eff_16_hosts": p[-1]["efficiency"]})
+    val = validate_allreduce_model(n_params)
 
     print("scaling: full PPO iteration (rollout+learner), weak scaling, "
           f"{per_device_envs} envs/device x T={T} (virtual CPU devices "
@@ -247,10 +343,14 @@ def scaling_report(device_counts=(1, 2, 4, 8), per_device_envs: int = 8,
         print(f"  devices={r['devices']}: {r['steps_per_s']:,.0f} "
               f"steps/s total, {r['per_device']:,.0f}/device, "
               f"efficiency {r['efficiency'] * 100:.1f}%")
-    print(f"scaling fit T(d)=t_comp+t_ring*(d-1)/d: "
-          f"t_comp={fit['t_comp_s'] * 1e3:.1f}ms "
-          f"t_ring<={fit['t_ring_s'] * 1e3:.1f}ms "
-          "(upper bound: includes host core contention)")
+    if fit["t_ring_s"] is None:
+        print("scaling fit: skipped - sweep truncated to a single row "
+              "(no multi-device point to fit the ring term against)")
+    else:
+        print(f"scaling fit T(d)=t_comp+t_ring*(d-1)/d: "
+              f"t_comp={fit['t_comp_s'] * 1e3:.1f}ms "
+              f"t_ring<={fit['t_ring_s'] * 1e3:.1f}ms "
+              "(upper bound: includes host core contention)")
     print(f"projection: grad all-reduce {proj[0]['grad_mb']:.1f} MB/update "
           f"({n_params:,} params) over DCN {DCN_BW / 1e9:.2f} GB/s vs "
           f"measured real-chip update period {period * 1e3:.1f} ms "
@@ -258,6 +358,20 @@ def scaling_report(device_counts=(1, 2, 4, 8), per_device_envs: int = 8,
     for p in proj:
         print(f"  hosts={p['hosts']}: t_comm={p['t_comm_ms']:.2f}ms, "
               f"projected efficiency {p['efficiency'] * 100:.2f}%")
+    print("projection sensitivity to the assumed DCN bandwidth "
+          "(worst-host / 16-host efficiency):")
+    for s in sens:
+        print(f"  bw={s['bw_gbps']:.2f} GB/s: "
+              f"{s['worst_eff'] * 100:.2f}% / {s['eff_16_hosts'] * 100:.2f}%")
+    if val is not None:
+        print(f"collective validation (2-process Gloo psum, isolated): "
+              f"probes {val['probe_mb']} MB -> "
+              f"bw={val['fitted_bw_gbps']:.2f} GB/s + "
+              f"{val['fitted_latency_ms']:.2f} ms latency; model "
+              f"predicts {val['predicted_s'] * 1e3:.1f} ms for the "
+              f"{val['grad_mb']:.1f} MB gradient, measured "
+              f"{val['measured_s'] * 1e3:.1f} ms "
+              f"(pred/meas = {val['ratio_pred_over_meas']:.2f})")
     worst = min(p["efficiency"] for p in proj)
     verdict = "MEETS" if worst >= 0.80 else "MISSES"
     print(f"scaling statement: projected multi-host DP efficiency "
@@ -267,4 +381,5 @@ def scaling_report(device_counts=(1, 2, 4, 8), per_device_envs: int = 8,
           "all-reduce is the only inter-host traffic).")
     return {"sweep": rows, "fit": fit, "n_params": n_params,
             "update_period_s": period, "projection": proj,
+            "bw_sensitivity": sens, "collective_validation": val,
             "meets_target": worst >= 0.80}

@@ -69,6 +69,23 @@ class EMAMLConfig:
                                     # on axon, whose relay kills single XLA
                                     # executions over ~1 minute; requires
                                     # first_order=True
+    cache_chain: bool = False       # chunked-only FOMAML approximation:
+                                    # replay the inner chain ONCE (it is
+                                    # exactly the inner-adaptation pass)
+                                    # and transport the adapted deltas
+                                    # through the later meta-opt steps
+                                    # instead of re-replaying per step —
+                                    # cuts the meta phase from
+                                    # maml_opt_steps*inner_steps replay
+                                    # units to maml_opt_steps outer
+                                    # updates (~5x fewer FLOPs/iteration
+                                    # at the GPT envelope).  Exact for the
+                                    # first meta-opt step; steps 2+ differ
+                                    # from the reference's per-step
+                                    # ``higher`` replay by O(|Δθ_meta| ·
+                                    # inner curvature) — measured in
+                                    # tests/test_training.py::
+                                    # test_emaml_cached_chain_close_to_exact
     ppo: PPOConfig = dataclasses.field(default_factory=PPOConfig)
 
 
@@ -376,7 +393,8 @@ def _finish_step(state: EMAMLState, env: BatchedEnv, cfg: EMAMLConfig,
     return new_state, metrics
 
 
-def make_chunked_train_step(agent: Agent, cfg: EMAMLConfig):
+def make_chunked_train_step(agent: Agent, cfg: EMAMLConfig,
+                            profile: bool = False):
     """Host-orchestrated E-MAML train step for large models.
 
     The axon TPU relay kills any single XLA execution that runs longer
@@ -450,6 +468,17 @@ def make_chunked_train_step(agent: Agent, cfg: EMAMLConfig):
         return p2, acc2, kls
 
     @jax.jit
+    def shift_unit(task_params, params, params0):
+        """cache_chain transport: the adapted params for meta-params
+        ``params`` are approximated by re-basing the cached inner-
+        adaptation deltas, p_final(params) ~= task_params + (params -
+        params0) — exact when params == params0 (the first meta-opt
+        step), first-order-consistent after."""
+        return jax.tree.map(
+            lambda tp, pn, p0: tp + (pn - p0), task_params,
+            _broadcast(params, T), _broadcast(params0, T))
+
+    @jax.jit
     def outer_update(p_final, acc, pb, kl_pens, params, opt_state):
         """Outer PPO gradient at the replayed final params, combined with
         the accumulated KL-ladder gradients, then one AdamW step."""
@@ -467,6 +496,7 @@ def make_chunked_train_step(agent: Agent, cfg: EMAMLConfig):
         return params, opt_state, loss, jax.tree.map(jnp.mean, stats)
 
     seen = set()
+    unit_times: dict = {}
 
     def _mark(name):
         # first-call = compile through the (slow) remote tunnel; make the
@@ -479,50 +509,106 @@ def make_chunked_train_step(agent: Agent, cfg: EMAMLConfig):
                   f"({_time.strftime('%H:%M:%S')})", file=_sys.stderr,
                   flush=True)
 
+    def _timed(name, fn, *args, **kw):
+        """Call a jitted unit; when profiling, synchronize and accumulate
+        wall-clock per unit name (split compile/first-call from steady
+        state) so the driver can log where a meta-iteration's time goes
+        (the round-4 verdict's missing breakdown).
+
+        The barrier is a host readback of the unit's smallest output
+        leaf, NOT ``block_until_ready``: through the axon relay
+        block_until_ready returns without waiting for the remote
+        execution (measured: 3 ms/call for a multi-second chain step),
+        so only an actual device->host transfer is an honest sync.  All
+        leaves come from the same XLA program, so reading one output
+        syncs the whole unit."""
+        _mark(name)
+        if not profile:
+            return fn(*args, **kw)
+        import numpy as _np
+        import time as _time
+        t0 = _time.perf_counter()
+        out = fn(*args, **kw)
+        leaves = [x for x in jax.tree.leaves(out)
+                  if hasattr(x, "size") and hasattr(x, "shape")]
+        if leaves:
+            _np.asarray(min(leaves, key=lambda x: x.size))
+        dt = _time.perf_counter() - t0
+        k = name if name in unit_times or name + ":first" in unit_times \
+            else name + ":first"
+        rec = unit_times.setdefault(
+            name if k != name + ":first" else k, [0.0, 0])
+        rec[0] += dt
+        rec[1] += 1
+        if k == name + ":first":
+            unit_times.setdefault(name, [0.0, 0])
+        return out
+
     def step(state: EMAMLState, env: BatchedEnv, bs: BatchedState):
         key = state.key
         params = state.params
+        params0 = params
+        zero_acc = jax.tree.map(
+            lambda x: jnp.zeros((T,) + x.shape, x.dtype), params)
 
         # ---- inner adaptation (emaml.py:367-401) ----
+        # cache_chain: the inner-adaptation pass IS the chain replay from
+        # params0, so run it through chain_step and keep (acc, kls) — the
+        # meta loop below then needs no replays at all
         task_params = _broadcast(params, T)
-        inner_batches, inner_rews = [], []
-        for _ in range(cfg.inner_steps):
+        acc0 = zero_acc
+        inner_batches, inner_rews, kls0 = [], [], []
+        for i in range(cfg.inner_steps):
             key, kr = jax.random.split(key)
-            _mark("rollout_unit")
-            bs, batch, rews = rollout_unit(task_params, bs, kr, env, False)
-            _mark("update_unit")
-            task_params = update_unit(task_params, batch)
-            inner_batches.append(batch)
+            bs, batch, rews = _timed("rollout", rollout_unit,
+                                     task_params, bs, kr, env, False)
+            if cfg.cache_chain:
+                task_params, acc0, kl = _timed(
+                    "update+chain", chain_step, task_params, acc0, batch,
+                    state.kl_coeffs[:, i])
+                kls0.append(kl)
+            else:
+                task_params = _timed("update", update_unit, task_params,
+                                     batch)
+                inner_batches.append(batch)
             inner_rews.append(rews.mean(axis=(1, 2)))
         inner_rews = jnp.stack(inner_rews)          # [S, T]
 
         # ---- post-adaptation rollouts, explore=False ----
         key, kp = jax.random.split(key)
-        _mark("rollout_unit[deterministic]")
-        bs, post_batch, post_rewards = rollout_unit(task_params, bs, kp,
-                                                    env, True)
+        bs, post_batch, post_rewards = _timed(
+            "rollout[det]", rollout_unit, task_params, bs, kp, env, True)
 
         # ---- meta-opt loop: replayed FOMAML chain, decomposed ----
         opt_state = state.opt_state
-        zero_acc = jax.tree.map(
-            lambda x: jnp.zeros((T,) + x.shape, x.dtype), params)
         for _opt in range(cfg.maml_opt_steps):
-            p = _broadcast(params, T)
-            acc = zero_acc
-            kls = []
-            for i, tb in enumerate(inner_batches):
-                _mark("chain_step")
-                p, acc, kl = chain_step(p, acc, tb, state.kl_coeffs[:, i])
-                kls.append(kl)
-            inner_kls = jnp.stack(kls, axis=1)      # [T, S]
+            if cfg.cache_chain:
+                p = task_params if _opt == 0 else _timed(
+                    "shift", shift_unit, task_params, params, params0)
+                acc = acc0
+                inner_kls = jnp.stack(kls0, axis=1)  # [T, S]
+            else:
+                p = _broadcast(params, T)
+                acc = zero_acc
+                kls = []
+                for i, tb in enumerate(inner_batches):
+                    p, acc, kl = _timed("chain", chain_step,
+                                        p, acc, tb, state.kl_coeffs[:, i])
+                    kls.append(kl)
+                inner_kls = jnp.stack(kls, axis=1)  # [T, S]
             kl_pens = jnp.sum(state.kl_coeffs * inner_kls, axis=1)
-            _mark("outer_update")
-            params, opt_state, loss, outer_stats = outer_update(
+            params, opt_state, loss, outer_stats = _timed(
+                "outer", outer_update,
                 p, acc, post_batch, kl_pens, params, opt_state)
 
         new_state, metrics = _finish_step(
             state, env, cfg, params, opt_state, key, loss, inner_kls,
             outer_stats, inner_rews, post_rewards, post_batch)
+        if profile:
+            metrics["unit_times"] = {
+                k: {"s": round(v[0], 3), "n": v[1]}
+                for k, v in unit_times.items()}
+            unit_times.clear()
         return new_state, bs, metrics
 
     return step

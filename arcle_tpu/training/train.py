@@ -54,11 +54,17 @@ def log_provenance(logger: MetricLogger, cfg: RunConfig, argv=None) -> None:
     import os
     import subprocess
     try:
-        sha = subprocess.run(
+        proc = subprocess.run(
             ["git", "-C", os.path.dirname(os.path.dirname(
                 os.path.dirname(os.path.abspath(__file__)))),
              "rev-parse", "--short", "HEAD"],
-            capture_output=True, text=True, timeout=10).stdout.strip()
+            capture_output=True, text=True, timeout=10)
+        sha = proc.stdout.strip()
+        # a git that ran but failed (not a checkout, detached worktree
+        # error, ...) exits non-zero with empty stdout — record "unknown"
+        # rather than an empty sha
+        if proc.returncode != 0 or not sha:
+            sha = "unknown"
     except Exception:
         sha = "unknown"
     logger.meta({"config": json.loads(cfg.to_json()), "git_sha": sha,
@@ -201,8 +207,11 @@ def run_emaml(cfg: RunConfig, logger: MetricLogger, resume: bool = False):
     if ecfg.chunked:
         # host-orchestrated step: short jitted units (~1 s each) instead
         # of one fused multi-minute program, which the axon relay would
-        # kill — the GPT-scale path (see make_chunked_train_step)
-        chunked_step = make_chunked_train_step(agent, ecfg)
+        # kill — the GPT-scale path (see make_chunked_train_step).
+        # ARCLE_TPU_PROFILE_UNITS=1 records a per-unit wall-clock
+        # breakdown (rollout/update/chain/outer) into every JSONL line.
+        profile = os.environ.get("ARCLE_TPU_PROFILE_UNITS", "") == "1"
+        chunked_step = make_chunked_train_step(agent, ecfg, profile=profile)
         step_j = lambda st, env, bs, _agent, _cfg: chunked_step(st, env, bs)
     else:
         step_j = jax.jit(emaml_train_step, static_argnums=(3, 4))
@@ -275,6 +284,8 @@ def run_emaml(cfg: RunConfig, logger: MetricLogger, resume: bool = False):
             "post_reward_per_task":
                 np.asarray(metrics["post_reward_per_task"]).tolist(),
         }
+        if "unit_times" in metrics:
+            logged["unit_times"] = metrics["unit_times"]
         logger.log(i, logged)
         # stderr heartbeat: liveness signal for supervise.py and humans
         now = time.perf_counter()

@@ -53,6 +53,13 @@ def main(argv=None):
                          "default keeps ~25-sample micro-batches (the "
                          "1837-token fwd+bwd fits the 15.75 GB chip at "
                          "25; 100-sample chunks need 18.8 GB)")
+    ap.add_argument("--exact-chain", action="store_true",
+                    help="re-replay the FOMAML inner chain at every "
+                         "meta-opt step (the reference's higher-replay "
+                         "semantics, ~5x the meta-phase FLOPs); default "
+                         "caches the chain from the inner-adaptation "
+                         "pass and transports deltas "
+                         "(EMAMLConfig.cache_chain)")
     ap.add_argument("--aux-coeff", type=float, default=0.0,
                     help="weight of the action-conditioned auxiliary "
                          "losses (r_{t-1}/r_t/next-grid, paper §4.1.1); "
@@ -108,6 +115,7 @@ def main(argv=None):
             # host-chunked step: the fused program would run minutes on
             # device and the axon relay kills executions over ~1 min
             chunked=not args.smoke,
+            cache_chain=not args.smoke and not args.exact_chain,
             ppo=PPOConfig(vf_coeff=0.5, aux_coeff=args.aux_coeff)),
         gpt=gpt,
         # GPT PPO: split rollout|update jits (watchdog + compiler wedge)

@@ -515,3 +515,56 @@ def test_emaml_chunked_with_gpt_agent():
         lambda a, b: not np.array_equal(np.asarray(a), np.asarray(b)),
         st.params, st2.params)
     assert any(jax.tree.leaves(changed))
+
+
+def test_emaml_cached_chain_close_to_exact():
+    """cache_chain replays the inner chain once and transports deltas
+    through the later meta-opt steps (EMAMLConfig.cache_chain).  It is
+    exact at maml_opt_steps=1 and a first-order approximation after —
+    this measures both: bit-level agreement at 1 meta step, small
+    relative parameter divergence at 2."""
+    from arcle_tpu.envs.core import ResetOptions
+    from arcle_tpu.training.emaml import make_chunked_train_step
+
+    bank = SyntheticLoader(6, seed=2).bank()
+    ag = mlp_agent(FCPolicy(hidden=(16,), n_ops=35))
+
+    def run(cache, meta_steps):
+        cfg = EMAMLConfig(n_tasks=2, envs_per_task=2, rollout_steps=8,
+                          inner_steps=3, maml_opt_steps=meta_steps,
+                          first_order=True, chunked=True,
+                          cache_chain=cache)
+        st = init_emaml(ag, cfg, jax.random.key(0), n_bank_tasks=6)
+        assign = sample_task_assignment(jax.random.key(1), 6, cfg)
+        opts = ResetOptions(prob_index=assign,
+                            subprob_index=jnp.full_like(assign, -1),
+                            adaptation=jnp.ones((), bool),
+                            reset_on_submit=jnp.zeros((), bool))
+        env = BatchedEnv(table=o2arc_table(7, crop_at_33=True), bank=bank,
+                         max_trial=7, episode_limit=8, auto_reset=True,
+                         dense_reward=True, augment=True, opts=opts,
+                         reset_pool=4)
+        bs = env.reset(jax.random.key(2), 4)
+        st2, _bs2, m = make_chunked_train_step(ag, cfg)(st, env, bs)
+        return st2, m
+
+    # one meta-opt step: the cached path IS the exact path
+    st_e1, m_e1 = run(False, 1)
+    st_c1, m_c1 = run(True, 1)
+    d1 = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        st_e1.params, st_c1.params)))
+    assert d1 < 1e-6, d1
+    assert np.allclose(float(m_e1["meta_loss"]), float(m_c1["meta_loss"]),
+                       atol=1e-6)
+
+    # two meta-opt steps: divergence bounded by the first-order argument
+    # (|delta params| ~ meta_lr per step -> relative error ~1e-3)
+    st_e2, _ = run(False, 2)
+    st_c2, _ = run(True, 2)
+    num = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        st_e2.params, st_c2.params)))
+    scale = max(jax.tree.leaves(jax.tree.map(
+        lambda a: float(jnp.abs(a).max()), st_e2.params)))
+    assert num / scale < 5e-3, (num, scale)
