@@ -58,6 +58,19 @@ class GPTConfig:
                                 # [B, H, T, attn_chunk] f32 — shrink for
                                 # large-batch training (e.g. 256 for the
                                 # E-MAML 100-sample task batches)
+    dense_attn_budget: int = 0  # bytes: use one dense [B,H,T,T] f32
+                                # score tensor when it fits this budget,
+                                # else the streaming recurrence (default:
+                                # always stream at T>=1024).  Measured on
+                                # v5e at the 1837-token E-MAML rollout
+                                # (B=8): dense was ~70% SLOWER than
+                                # streaming (5.75 vs 3.37 s per 25-step
+                                # rollout) — the materialized score
+                                # tensor costs more HBM traffic than the
+                                # chunked recurrence costs launches —
+                                # so the knob exists for experimentation
+                                # only (same exact softmax; equivalence
+                                # is tested)
 
     @property
     def num_pixel(self) -> int:
@@ -143,7 +156,8 @@ class SelfAttention(nn.Module):
         q, k, v = jnp.split(qkv, 3, axis=-1)
         split = lambda a: a.reshape(B, T, c.n_head, C // c.n_head)
         q, k, v = split(q), split(k), split(v)
-        if T >= 1024:
+        dense_bytes = 4 * B * c.n_head * T * T
+        if T >= 1024 and dense_bytes > c.dense_attn_budget:
             # streaming path (no dropout inside attention probabilities;
             # reference uses attn_pdrop=0.1 but PPO runs deterministic)
             y = _streaming_attention(q, k, v, pad_mask, chunk=c.attn_chunk)

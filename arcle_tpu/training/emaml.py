@@ -86,6 +86,17 @@ class EMAMLConfig:
                                     # inner curvature) — measured in
                                     # tests/test_training.py::
                                     # test_emaml_cached_chain_close_to_exact
+    kl_ladder_grads: bool = True    # False: the inner-step KL values for
+                                    # the KLCoeffMixin ladder come for free
+                                    # from the surrogate gradient's own
+                                    # forward pass, and the KL-ladder
+                                    # *gradient* term is dropped from the
+                                    # meta loss.  Its weight is the ladder
+                                    # coeff (~5e-4) times KLs of ~1e-4 —
+                                    # ~1e-7 against policy losses of ~1e-2
+                                    # — while costing a full second
+                                    # backward per inner step (half the
+                                    # measured chain time at GPT scale).
     ppo: PPOConfig = dataclasses.field(default_factory=PPOConfig)
 
 
@@ -150,6 +161,31 @@ def _surrogate_grads(params, batch: PPOBatch, cfg: EMAMLConfig,
     return _accumulated(
         lambda mb: jax.grad(surrogate_loss)(params, agent, mb, cfg.ppo),
         jax.tree.map(jnp.zeros_like, params), batch, cfg.n_micro)
+
+
+def _surrogate_and_kl(params, batch: PPOBatch, cfg: EMAMLConfig,
+                      agent: Agent):
+    """(unclipped surrogate, inner KL) from ONE evaluate forward — the
+    fused fast path for ``kl_ladder_grads=False``: the KL value rides as
+    aux on the surrogate's value_and_grad instead of paying its own
+    backward."""
+    def loss_kl(p, mb):
+        lp, value, _ = agent.evaluate_fn(p, mb.obs, mb.actions)
+        ratio = jnp.exp(lp - mb.log_probs)
+        policy_loss = -(ratio * mb.advantages).mean()
+        vf_loss = 0.5 * ((value - mb.returns) ** 2).mean()
+        kl = (mb.log_probs - lp).mean()
+        return policy_loss + cfg.ppo.vf_coeff * vf_loss, kl
+
+    vg = jax.value_and_grad(loss_kl, has_aux=True)
+    if cfg.n_micro <= 1:
+        (_, kl), g = vg(params, batch)
+        return g, kl
+    zero = (jax.tree.map(jnp.zeros_like, params), jnp.float32(0))
+    g, kl = _accumulated(
+        lambda mb: (lambda out: (out[1], out[0][1]))(vg(params, mb)),
+        zero, batch, cfg.n_micro)
+    return g, kl
 
 
 def _inner_update(params, batch: PPOBatch, cfg: EMAMLConfig, agent: Agent):
@@ -454,7 +490,19 @@ def make_chunked_train_step(agent: Agent, cfg: EMAMLConfig,
     @jax.jit
     def chain_step(p, acc, tb, klc_i):
         """Replay one inner step at [T]-stacked params; accumulate the
-        KL-ladder gradient klc_i * d kl_i / d p_i into ``acc``."""
+        KL-ladder gradient klc_i * d kl_i / d p_i into ``acc``.  With
+        ``kl_ladder_grads=False`` the KL value comes from the surrogate
+        pass itself and ``acc`` stays zero (see EMAMLConfig)."""
+        if not cfg.kl_ladder_grads:
+            def one_fast(p_t, tb_t):
+                g, kl = _surrogate_and_kl(p_t, tb_t, cfg, agent)
+                p2 = jax.tree.map(lambda a, b: a - cfg.inner_lr * b,
+                                  p_t, g)
+                return p2, kl
+
+            p2, kls = jax.vmap(one_fast)(p, tb)
+            return p2, acc, kls
+
         def one(p_t, tb_t):
             kl, gkl = jax.value_and_grad(_batch_kl)(p_t, tb_t, cfg, agent)
             g = _surrogate_grads(p_t, tb_t, cfg, agent)

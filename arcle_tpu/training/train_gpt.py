@@ -50,9 +50,19 @@ def main(argv=None):
                          "forwards, one per step")
     ap.add_argument("--n-micro", type=int, default=None,
                     help="gradient-accumulation chunks per inner update; "
-                         "default keeps ~25-sample micro-batches (the "
+                         "default keeps ~50-sample micro-batches (the "
                          "1837-token fwd+bwd fits the 15.75 GB chip at "
-                         "25; 100-sample chunks need 18.8 GB)")
+                         "50 with remat; 100-sample chunks need 18.8 GB)")
+    ap.add_argument("--no-remat", action="store_true",
+                    help="disable per-block rematerialization in the GPT "
+                         "(faster backward, ~2x activation memory; fits "
+                         "at the default micro-batch size)")
+    ap.add_argument("--kl-ladder-grads", action="store_true",
+                    help="backprop the inner-KL ladder term through its "
+                         "own pass (reference MAMLLoss parity); default "
+                         "reads the KL value off the surrogate pass and "
+                         "drops the ~1e-7-weight gradient term "
+                         "(EMAMLConfig.kl_ladder_grads)")
     ap.add_argument("--exact-chain", action="store_true",
                     help="re-replay the FOMAML inner chain at every "
                          "meta-opt step (the reference's higher-replay "
@@ -75,8 +85,8 @@ def main(argv=None):
                  "carry no aux targets, and aux terms don't decompose "
                  "over n_micro gradient accumulation)")
 
-    gpt = GPTConfig(attn_chunk=256) if not args.smoke else GPTConfig(
-        n_layer=2, n_head=4, n_embd=32)
+    gpt = GPTConfig(attn_chunk=256, remat=not args.no_remat) \
+        if not args.smoke else GPTConfig(n_layer=2, n_head=4, n_embd=32)
     cfg = RunConfig(
         seed=args.seed, algo=args.algo, model="gpt",
         total_iterations=args.iterations,
@@ -110,8 +120,9 @@ def main(argv=None):
             # memory (see EMAMLConfig.n_micro)
             n_micro=1 if args.smoke else (
                 args.n_micro if args.n_micro
-                else max(4, (args.envs_per_task * args.rollout_steps)
-                         // 25)),
+                else max(2, (args.envs_per_task * args.rollout_steps)
+                         // 50)),
+            kl_ladder_grads=args.smoke or args.kl_ladder_grads,
             # host-chunked step: the fused program would run minutes on
             # device and the axon relay kills executions over ~1 min
             chunked=not args.smoke,

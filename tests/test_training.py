@@ -568,3 +568,70 @@ def test_emaml_cached_chain_close_to_exact():
     scale = max(jax.tree.leaves(jax.tree.map(
         lambda a: float(jnp.abs(a).max()), st_e2.params)))
     assert num / scale < 5e-3, (num, scale)
+
+
+def test_emaml_kl_ladder_fast_path_close():
+    """kl_ladder_grads=False reads the ladder KLs off the surrogate pass
+    and drops the ~coeff*kl gradient term (weight ~1e-7); params must
+    stay within that perturbation of the exact path and the reported KLs
+    must match to float tolerance."""
+    from arcle_tpu.envs.core import ResetOptions
+    from arcle_tpu.training.emaml import make_chunked_train_step
+
+    bank = SyntheticLoader(6, seed=2).bank()
+    ag = mlp_agent(FCPolicy(hidden=(16,), n_ops=35))
+
+    def run(fast):
+        cfg = EMAMLConfig(n_tasks=2, envs_per_task=2, rollout_steps=8,
+                          inner_steps=3, maml_opt_steps=2,
+                          first_order=True, chunked=True, cache_chain=True,
+                          kl_ladder_grads=not fast, n_micro=2)
+        st = init_emaml(ag, cfg, jax.random.key(0), n_bank_tasks=6)
+        assign = sample_task_assignment(jax.random.key(1), 6, cfg)
+        opts = ResetOptions(prob_index=assign,
+                            subprob_index=jnp.full_like(assign, -1),
+                            adaptation=jnp.ones((), bool),
+                            reset_on_submit=jnp.zeros((), bool))
+        env = BatchedEnv(table=o2arc_table(7, crop_at_33=True), bank=bank,
+                         max_trial=7, episode_limit=8, auto_reset=True,
+                         dense_reward=True, augment=True, opts=opts,
+                         reset_pool=4)
+        bs = env.reset(jax.random.key(2), 4)
+        st2, _bs2, m = make_chunked_train_step(ag, cfg)(st, env, bs)
+        return st2, m
+
+    st_e, m_e = run(False)
+    st_f, m_f = run(True)
+    assert np.allclose(np.asarray(m_e["inner_kl_mean"]),
+                       np.asarray(m_f["inner_kl_mean"]), atol=1e-5)
+    num = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), st_e.params,
+        st_f.params)))
+    scale = max(jax.tree.leaves(jax.tree.map(
+        lambda a: float(jnp.abs(a).max()), st_e.params)))
+    assert num / scale < 1e-3, (num, scale)
+
+
+def test_gpt_dense_streaming_attention_equal():
+    """The dense and streaming attention paths are the same exact softmax
+    (GPTConfig.dense_attn_budget only picks the implementation)."""
+    import dataclasses as dc
+    B = 2
+    base = GPTConfig(n_layer=1, n_head=2, n_embd=16, embd_pdrop=0.0,
+                     resid_pdrop=0.0, attn_pdrop=0.0, grid_x=30,
+                     grid_y=30, attn_chunk=256)
+    key = jax.random.key(0)
+    grid = jax.random.randint(jax.random.key(1), (B, 30, 30), 0, 10
+                              ).astype(jnp.int8)
+    dims = jnp.full((B, 2), 30, jnp.int8)
+    tr = jnp.ones((B,), jnp.int8)
+    ac = jnp.zeros((B,), jnp.int8)
+
+    dense = GPTPolicy(dc.replace(base, dense_attn_budget=1 << 62))
+    stream = GPTPolicy(dc.replace(base, dense_attn_budget=0))
+    params = dense.init(key, grid, dims, grid, dims, tr, ac)
+    od = dense.apply(params, grid, dims, grid, dims, tr, ac)
+    os_ = stream.apply(params, grid, dims, grid, dims, tr, ac)
+    for k in ("op_logits", "value"):
+        np.testing.assert_allclose(np.asarray(od[k]), np.asarray(os_[k]),
+                                   rtol=2e-2, atol=2e-3)
