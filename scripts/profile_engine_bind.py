@@ -22,10 +22,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def log(*a):
@@ -122,12 +126,19 @@ def main():
             st, rews = jax.lax.scan(body, state, (ops, sels))
             return (jnp.sum(st.grid.astype(jnp.int32))
                     + rews.sum().astype(jnp.int32))
-        t = timed(f"kernel_only[BLK={blk}]", kernel_only, state0,
-                  pre_ops, pre_sels)
-        results[f"kernel_only_blk{blk}_s"] = t
+        try:
+            t = timed(f"kernel_only[BLK={blk}]", kernel_only, state0,
+                      pre_ops, pre_sels)
+            results[f"kernel_only_blk{blk}_s"] = t
+        except Exception as e:
+            # BLK=256 exceeds the 16 MB scoped-VMEM limit (24.9 MB) —
+            # record the ceiling instead of dying
+            msg = str(e).splitlines()[0][:160]
+            log(f"  kernel_only[BLK={blk}]: FAILED ({msg})")
+            results[f"kernel_only_blk{blk}_s"] = None
 
     # ---- no_epilogue: RNG + mask + kernel ----
-    geom = Geom(H, W, 64)
+    geom = Geom(H, W, 128)
 
     def no_epilogue(state, key):
         def body(carry, _):
@@ -157,7 +168,8 @@ def main():
     results["full_s"] = timed("full", full, env, bs_flat,
                               jax.random.key(3))
 
-    k64 = results["kernel_only_blk64_s"]
+    k64 = results.get("kernel_only_blk128_s") \
+        or results["kernel_only_blk64_s"]
     results["derived"] = {
         "per_step_full_us": results["full_s"] / T * 1e6,
         "per_step_kernel_us": k64 / T * 1e6,
