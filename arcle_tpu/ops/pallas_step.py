@@ -69,13 +69,19 @@ class Geom(NamedTuple):
         return self.H * self.W
 
 
-def geom_for(h: int, w: int) -> Geom:
+def geom_for(h: int, w: int, batch: int = None) -> Geom:
     lanes = -(-(h * w) // 128) * 128          # lane-padded grid footprint
     # 128 envs x 1024 lanes at 30x30: measured 19% faster than 64 on v5e
     # (1.22 vs 1.45 ms/step at B=4096 kernel-only) and within the 16 MB
     # scoped-VMEM ceiling (256 x 1024 needs 24.9 MB and fails to
     # compile) — the kernel is VMEM/VPU-bound, scripts/profile_engine_bind.py
     blk = max(64, min(512, (128 * 1024) // lanes))
+    if batch is not None:
+        # small batches (E-MAML per-task slices) must not pad up to a
+        # jumbo block: it wastes compute 16x AND, under a task-axis
+        # vmap, the leading vmap dim multiplies the kernel's scoped VMEM
+        # (measured: [2,128,1024] blocks need 17.3 MB > the 16 MB limit)
+        blk = min(blk, max(64, -(-batch // 64) * 64))
     return Geom(h, w, blk)
 
 
@@ -677,7 +683,7 @@ def pallas_step_deferred(state: EnvState, action: Action, table: OpTable):
     falling back to XLA (VERDICT r3 weak #6)."""
     h, w = state.grid.shape[1], state.grid.shape[2]
     return _step_impl(state, action, table, flat_state=False,
-                      geom=geom_for(h, w))
+                      geom=geom_for(h, w, state.grid.shape[0]))
 
 
 def pallas_step_deferred_flat(state: EnvState, action: Action,
@@ -689,4 +695,4 @@ def pallas_step_deferred_flat(state: EnvState, action: Action,
     geometry (default 30x30)."""
     assert state.grid.shape[1] == h * w, (state.grid.shape, h, w)
     return _step_impl(state, action, table, flat_state=True,
-                      geom=geom_for(h, w))
+                      geom=geom_for(h, w, state.grid.shape[0]))
