@@ -147,11 +147,13 @@ def main(argv=None):
     # (config, argv, git sha) — advisor round-3 finding
     try:
         import subprocess
-        sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
-                             capture_output=True, text=True,
-                             timeout=5).stdout.strip()
+        proc = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                              capture_output=True, text=True, timeout=5)
+        sha = proc.stdout.strip()
+        if proc.returncode != 0 or not sha:
+            sha = "unknown"
     except Exception:
-        sha = ""
+        sha = "unknown"
     logger.log(-1, {"_meta": True, "argv": list(argv or sys.argv[1:]),
                     "config": {k: v for k, v in vars(args).items()},
                     "git_sha": sha})
