@@ -241,6 +241,12 @@ def bench_tpu(batch: int, steps: int, iters: int, seed: int = 0,
             util_out.update(_rf.summarize(best, batch, steps, cost,
                                           analytic))
             util_out["engine"] = "pallas" if use_pallas else "xla"
+            # measured binding resource (docs/engine_bind_r5.txt): the
+            # kernel is 82% of the step, per-step HBM traffic is KBs,
+            # and block scaling stops at the 16 MB scoped-VMEM ceiling
+            # (BLK=256 fails to compile) — low HBM% here is expected,
+            # not headroom
+            util_out["bind"] = "vpu-compute/scoped-vmem"
             log(f"roofline: {util_out}")
         except Exception as e:  # pragma: no cover
             log(f"roofline accounting failed: {e}")
