@@ -181,7 +181,15 @@ def pick_engine(env_builder, batch: int, steps: int = 20,
         return best
 
     t_xla = timed(False)
-    t_pal = timed(True)
+    try:
+        t_pal = timed(True)
+    except Exception as e:
+        # a kernel that fails to compile at this geometry (e.g. scoped-
+        # VMEM overflow) must demote to the XLA path, not kill the
+        # caller — the driver's benchmark artifact depends on this probe
+        print(f"pick_engine: pallas probe failed ({str(e).splitlines()[0][:120]}); "
+              "using XLA", flush=True)
+        t_pal = float("inf")
     use = t_pal < t_xla
     _PICK_CACHE[cache_key] = use
     return use

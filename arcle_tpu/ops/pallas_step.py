@@ -71,11 +71,15 @@ class Geom(NamedTuple):
 
 def geom_for(h: int, w: int, batch: int = None) -> Geom:
     lanes = -(-(h * w) // 128) * 128          # lane-padded grid footprint
-    # 128 envs x 1024 lanes at 30x30: measured 19% faster than 64 on v5e
-    # (1.22 vs 1.45 ms/step at B=4096 kernel-only) and within the 16 MB
-    # scoped-VMEM ceiling (256 x 1024 needs 24.9 MB and fails to
-    # compile) — the kernel is VMEM/VPU-bound, scripts/profile_engine_bind.py
-    blk = max(64, min(512, (128 * 1024) // lanes))
+    # 96 envs x 1024 lanes at 30x30: bigger blocks amortize per-op issue
+    # overhead (measured kernel-only on v5e: 128-blocks 19% faster than
+    # 64), but the scoped-VMEM ceiling binds at 16 MB — 128-blocks fit a
+    # bare kernel scan (12.4 MB) yet overflow inside the fused
+    # rollout+epilogue program (18.6 MB), and 256 x 1024 needs 24.9 MB
+    # outright.  96 (13.9 MB in the fused program) is the largest block
+    # that compiles everywhere.  The kernel is VMEM/VPU-bound:
+    # scripts/profile_engine_bind.py + docs/engine_bind_r5.txt.
+    blk = max(64, min(512, (96 * 1024) // lanes))
     if batch is not None:
         # small batches (E-MAML per-task slices) must not pad up to a
         # jumbo block: it wastes compute 16x AND, under a task-axis

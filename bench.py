@@ -490,6 +490,23 @@ def main():
                          "single-chip benchmark")
     args = ap.parse_args()
 
+    # persistent XLA-executable cache (user-scoped; honors
+    # JAX_COMPILATION_CACHE_DIR): repeat bench runs skip the multi-minute
+    # remote compiles of the rollout programs
+    import os
+    import tempfile
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(tempfile.gettempdir(),
+                     f"arcle_bench_cache_{os.getuid()}"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception as e:
+        log(f"compile cache disabled: {e}")
+
     if not args.scaling:
         ensure_live_device()
 

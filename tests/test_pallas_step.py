@@ -237,14 +237,15 @@ def test_pallas_5x5_geometry_matches_xla():
 
 
 def test_geom_for_batch_cap():
-    """Block geometry: 128-env blocks at 30x30 for large batches (the
-    measured VMEM-bound optimum), capped down to the batch for small
+    """Block geometry: 96-env blocks at 30x30 for large batches (the
+    largest size under the 16 MB scoped-VMEM ceiling in the fused
+    rollout program), capped down to the batch for small
     vmapped slices (a [T,128,1024] vmapped block exceeds the 16 MB
     scoped-VMEM ceiling and pads 8-env task slices 16x)."""
     from arcle_tpu.ops.pallas_step import geom_for
 
-    assert geom_for(30, 30).BLK == 128
-    assert geom_for(30, 30, 4096).BLK == 128
+    assert geom_for(30, 30).BLK == 96
+    assert geom_for(30, 30, 4096).BLK == 96
     assert geom_for(30, 30, 8).BLK == 64
-    assert geom_for(30, 30, 100).BLK == 128
+    assert geom_for(30, 30, 100).BLK == 96
     assert geom_for(5, 5, 8192).BLK == 512
